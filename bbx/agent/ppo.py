@@ -1,0 +1,333 @@
+"""PPO, fully on-device: rollout scan -> GAE scan -> minibatch update scans.
+
+One jitted `train_iteration` replaces the reference's host-side loop
+(`/root/reference/scripts/train.py:169-210`, `/root/reference/src/agents/
+ppo.py:70-423`): the environment, the policy, GAE, and the clipped update all
+run inside a single XLA program with zero host<->device transfers per step.
+
+Semantics preserved from the reference:
+  * rollout of `rollout_steps` x `num_envs` transitions, then GAE with
+    bootstrap values (`ppo.py:141-169`);
+  * advantages normalized over the WHOLE buffer before minibatching
+    (`ppo.py:196`);
+  * per-epoch reshuffled minibatches; clipped surrogate + 0.5*MSE value loss
+    + 0.01 * (-masked entropy); global-norm clip 0.5; Adam(eps=1e-5)
+    (`ppo.py:246-256,362-414`);
+  * the network runs in train mode (BatchNorm batch stats + dropout) during
+    both rollout and update, as torch's default mode does in the reference.
+
+The rollout buffer is stored compactly on device: uint8 boards and int8
+piece ids instead of f32 observation planes (the f32 planes are
+rematerialized per minibatch from the piece table — cheaper than the HBM
+traffic of storing them).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import optax
+from flax import struct
+
+from ..engine.state import EnvState
+from ..engine.step import RewardConfig, observe, step
+from ..engine.tables import NUM_ACTIONS, PIECE_MASKS
+from ..models import distributions as D
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Hyperparameters (`ppo.py:26-67` + `config/default.yaml`)."""
+
+    learning_rate: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_epsilon: float = 0.2
+    entropy_coef: float = 0.01
+    value_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    num_epochs: int = 10
+    minibatch_size: int = 2048
+    rollout_steps: int = 128
+    num_envs: int = 64
+    # torch modules default to train mode, so the reference's rollout uses
+    # batch-stat BN and live dropout; flip this for deterministic rollouts.
+    rollout_train_mode: bool = True
+
+    @property
+    def batch_size(self) -> int:
+        return self.rollout_steps * self.num_envs
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    update_step: jnp.ndarray  # scalar int32
+
+
+def make_optimizer(config: PPOConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adam(config.learning_rate, eps=1e-5),
+    )
+
+
+def init_train_state(network, config: PPOConfig, key) -> TrainState:
+    dummy_board = jnp.zeros((2, 8, 8), jnp.float32)
+    dummy_pieces = jnp.zeros((2, 3, 8, 8), jnp.float32)
+    variables = network.init(
+        {"params": key, "dropout": key}, dummy_board, dummy_pieces, train=False
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(config)
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        update_step=jnp.int32(0),
+    )
+
+
+def _apply(network, params, batch_stats, obs, *, train, dropout_key=None,
+           mutable=False):
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    rngs = {"dropout": dropout_key} if dropout_key is not None else None
+    if mutable and batch_stats:
+        (logits, value), mut = network.apply(
+            variables, obs["board"], obs["pieces"], obs["action_mask"],
+            train=train, rngs=rngs, mutable=["batch_stats"],
+        )
+        return logits, value, mut["batch_stats"]
+    logits, value = network.apply(
+        variables, obs["board"], obs["pieces"], obs["action_mask"],
+        train=train, rngs=rngs,
+    )
+    return logits, value, batch_stats
+
+
+def rollout(network, config: PPOConfig, reward_config: RewardConfig,
+            params, batch_stats, env_state: EnvState, key):
+    """Collect `rollout_steps` transitions for every env, entirely on device.
+
+    Returns (env_state, batch_stats, traj, ep_stats) where `traj` is a dict
+    of [T, N, ...] arrays and `ep_stats` aggregates finished episodes.
+    """
+    train_mode = config.rollout_train_mode
+    obs0 = observe(env_state)
+
+    def body(carry, key_t):
+        env_state, obs, batch_stats = carry
+        k_drop, k_samp = jr.split(key_t)
+        logits, value, batch_stats = _apply(
+            network, params, batch_stats, obs,
+            train=train_mode,
+            dropout_key=k_drop if train_mode else None,
+            mutable=train_mode,
+        )
+        action = D.sample(k_samp, logits)
+        logp = D.log_prob(logits, action)
+        out = step(env_state, action, reward_config, auto_reset=True)
+        trans = {
+            "board": env_state.board,                    # uint8 [N,8,8]
+            "piece_ids": env_state.piece_ids.astype(jnp.int8),
+            "used": env_state.used,
+            "mask": obs["action_mask"],                  # bool [N,192]
+            "action": action,
+            "logp": logp,
+            "value": value,
+            "reward": out.reward,
+            "done": out.done,
+        }
+        stats = {
+            "done": out.done,
+            "final_score": out.info["final_score"],
+            "final_length": out.info["final_length"],
+            "final_return": out.info["final_return"],
+            "final_lines": out.info["final_lines"],
+            "final_max_combo": out.info["final_max_combo"],
+            "invalid": out.info["invalid_action"],
+        }
+        return (out.state, out.obs, batch_stats), (trans, stats)
+
+    keys = jr.split(key, config.rollout_steps)
+    (env_state, last_obs, batch_stats), (traj, stats) = jax.lax.scan(
+        body, (env_state, obs0, batch_stats), keys
+    )
+
+    # Bootstrap value of the final observation (`scripts/train.py:206`).
+    logits, last_value, batch_stats = _apply(
+        network, params, batch_stats, last_obs, train=False, mutable=False
+    )
+    del logits
+
+    dones_f = stats["done"].astype(jnp.float32)
+    n_done = jnp.maximum(jnp.sum(dones_f), 1.0)
+    ep_stats = {
+        "episodes": jnp.sum(dones_f),
+        "mean_score": jnp.sum(stats["final_score"] * dones_f) / n_done,
+        "max_score": jnp.max(
+            jnp.where(stats["done"], stats["final_score"], 0)
+        ).astype(jnp.float32),
+        "mean_length": jnp.sum(stats["final_length"] * dones_f) / n_done,
+        "mean_return": jnp.sum(stats["final_return"] * dones_f) / n_done,
+        "mean_lines": jnp.sum(stats["final_lines"] * dones_f) / n_done,
+        "mean_max_combo": jnp.sum(stats["final_max_combo"] * dones_f) / n_done,
+        "invalid_frac": jnp.mean(stats["invalid"].astype(jnp.float32)),
+    }
+    return env_state, batch_stats, traj, last_value, ep_stats
+
+
+def compute_gae(config: PPOConfig, rewards, dones, values, last_value):
+    """Reverse-scan GAE (`ppo.py:141-169`)."""
+    gamma, lam = config.gamma, config.gae_lambda
+
+    def body(carry, xs):
+        adv_next, v_next = carry
+        r, d, v = xs
+        nonterm = 1.0 - d.astype(jnp.float32)
+        delta = r + gamma * v_next * nonterm - v
+        adv = delta + gamma * lam * nonterm * adv_next
+        return (adv, v), adv
+
+    (_, _), advantages = jax.lax.scan(
+        body,
+        (jnp.zeros_like(last_value), last_value),
+        (rewards, dones, values),
+        reverse=True,
+    )
+    returns = advantages + values
+    return advantages, returns
+
+
+def _minibatch_obs(batch):
+    """Rematerialize f32 observation planes from the compact buffer."""
+    pieces = PIECE_MASKS[batch["piece_ids"].astype(jnp.int32)]
+    pieces = pieces * (~batch["used"][:, :, None, None]).astype(jnp.float32)
+    return {
+        "board": batch["board"].astype(jnp.float32),
+        "pieces": pieces,
+        "action_mask": batch["mask"],
+    }
+
+
+def update(network, config: PPOConfig, tx, ts: TrainState, traj,
+           advantages, returns, key):
+    """Epochs of shuffled minibatch PPO updates (`ppo.py:330-423`)."""
+    total = config.batch_size
+    mb = config.minibatch_size
+    assert total % mb == 0, (
+        f"rollout batch {total} not divisible by minibatch {mb}"
+    )
+    num_mb = total // mb
+
+    flat = {k: v.reshape(total, *v.shape[2:]) for k, v in traj.items()}
+    adv = advantages.reshape(total)
+    adv = (adv - adv.mean()) / (adv.std() + 1e-8)  # ppo.py:196
+    ret = returns.reshape(total)
+
+    def loss_fn(params, batch_stats, batch, dropout_key):
+        obs = _minibatch_obs(batch)
+        logits, value, new_stats = _apply(
+            network, params, batch_stats, obs,
+            train=True, dropout_key=dropout_key, mutable=True,
+        )
+        new_logp = D.log_prob(logits, batch["action"])
+        entropy = D.masked_entropy(logits, batch["mask"])
+
+        ratio = jnp.exp(new_logp - batch["logp"])
+        surr1 = ratio * batch["adv"]
+        surr2 = jnp.clip(ratio, 1 - config.clip_epsilon,
+                         1 + config.clip_epsilon) * batch["adv"]
+        policy_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+        value_loss = jnp.mean((value - batch["ret"]) ** 2)
+        entropy_mean = jnp.mean(entropy)
+        loss = (
+            policy_loss
+            + config.value_coef * value_loss
+            - config.entropy_coef * entropy_mean
+        )
+        approx_kl = jnp.mean((ratio - 1.0) - jnp.log(ratio))
+        clip_frac = jnp.mean(
+            (jnp.abs(ratio - 1.0) > config.clip_epsilon).astype(jnp.float32)
+        )
+        aux = {
+            "policy_loss": policy_loss,
+            "value_loss": value_loss,
+            "entropy": entropy_mean,
+            "total_loss": loss,
+            "approx_kl": approx_kl,
+            "clip_fraction": clip_frac,
+        }
+        return loss, (new_stats, aux)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def mb_step(carry, idx_key):
+        params, batch_stats, opt_state = carry
+        mb_idx, k = idx_key
+        k_drop = k
+        batch = {k2: v[mb_idx] for k2, v in flat.items()}
+        batch["adv"] = adv[mb_idx]
+        batch["ret"] = ret[mb_idx]
+        (_, (batch_stats, aux)), grads = grad_fn(
+            params, batch_stats, batch, k_drop
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, batch_stats, opt_state), aux
+
+    def epoch_step(carry, key_e):
+        k_perm, k_mb = jr.split(key_e)
+        perm = jr.permutation(k_perm, total).reshape(num_mb, mb)
+        mb_keys = jr.split(k_mb, num_mb)
+        carry, auxs = jax.lax.scan(mb_step, carry, (perm, mb_keys))
+        return carry, auxs
+
+    epoch_keys = jr.split(key, config.num_epochs)
+    (params, batch_stats, opt_state), auxs = jax.lax.scan(
+        epoch_step, (ts.params, ts.batch_stats, ts.opt_state), epoch_keys
+    )
+    metrics = jax.tree.map(jnp.mean, auxs)
+    new_ts = TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        update_step=ts.update_step + 1,
+    )
+    return new_ts, metrics
+
+
+def train_iteration(network, config: PPOConfig, reward_config: RewardConfig,
+                    tx, ts: TrainState, env_state: EnvState, key):
+    """One full PPO iteration: rollout + GAE + update.  Jit this."""
+    k_roll, k_upd = jr.split(key)
+    env_state, batch_stats, traj, last_value, ep_stats = rollout(
+        network, config, reward_config, ts.params, ts.batch_stats,
+        env_state, k_roll,
+    )
+    ts = ts.replace(batch_stats=batch_stats)
+    advantages, returns = compute_gae(
+        config, traj["reward"], traj["done"], traj["value"], last_value
+    )
+    ts, metrics = update(network, config, tx, ts, traj, advantages, returns,
+                         k_upd)
+    metrics = dict(metrics)
+    metrics.update(ep_stats)
+    return ts, env_state, metrics
+
+
+def make_train_iteration(network, config: PPOConfig,
+                         reward_config: RewardConfig, tx, donate: bool = True):
+    """Build the jitted train-iteration callable."""
+    fn = partial(train_iteration, network, config, reward_config, tx)
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(fn, donate_argnums=donate_argnums)

@@ -1,0 +1,187 @@
+"""Piece-triple solvability: can all 3 drawn pieces be placed in some order?
+
+The reference regenerates a piece triple until a recursive search proves all
+three can be placed sequentially, simulating line clears between placements
+(`/root/reference/src/game/engine.py:155-238`).  Data-dependent recursion is
+the worst fit for XLA, so this module computes the *same boolean* with
+fixed-shape tensor algebra:
+
+1.  **Fast path — disjoint placements (sufficient).**  If the three pieces
+    admit pairwise non-overlapping valid placements on the current board,
+    then any placement order succeeds: line clears only *empty* cells, so a
+    placement that was valid on the original board stays valid.  Existence is
+    decided with the precomputed pairwise-conflict tensor and two 64x64
+    matmuls per board — no board simulation at all.
+
+2.  **Full path — exhaustive search with simulated clears (exact).**  Only
+    when the fast path fails for some board (rare: it requires a clear to
+    unlock space) do we run the exact bounded search: every first-piece
+    anchor, clears, every second-piece anchor, clears, any third-piece
+    anchor.  It is gated behind a batch-level `lax.cond`, so the common case
+    never pays for it.
+
+`fast OR full` is exactly the reference predicate.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .kernel import clear_lines_flat, gather_piece_validity
+from .tables import (
+    ANCHOR_OK,
+    NO_CONFLICT_BF16,
+    NUM_CELLS,
+    PAIR_CONFLICT,
+    PLACEMENT,
+    PLACEMENT_BF16,
+)
+
+_F32 = jnp.float32
+
+
+def solvable_disjoint(valid3: jnp.ndarray, piece_ids: jnp.ndarray) -> jnp.ndarray:
+    """Sufficient check: three pairwise-disjoint valid placements exist.
+
+    Args:
+      valid3: [N, 3, 64] bool — validity of each drawn piece on the board
+        (ignoring used flags; regen resets them).
+      piece_ids: [N, 3] int32.
+    Returns:
+      [N] bool.
+    """
+    p0, p1, p2 = piece_ids[:, 0], piece_ids[:, 1], piece_ids[:, 2]
+    v0 = valid3[:, 0]
+    v1 = valid3[:, 1]
+    v2 = valid3[:, 2]
+
+    c01 = PAIR_CONFLICT[p0, p1]  # [N, 64, 64]
+    c02 = PAIR_CONFLICT[p0, p2]
+    nc12 = NO_CONFLICT_BF16[p1, p2]  # [N, 64, 64] bf16
+
+    # M01[n, a0, a1]: piece0@a0 and piece1@a1 both valid and disjoint.
+    m01 = (v0[:, :, None] & v1[:, None, :] & ~c01).astype(jnp.bfloat16)
+    # T[n, a0, a2] = exists a1: M01 & no-conflict(p1@a1, p2@a2).
+    t = jax.lax.dot_general(
+        m01,
+        nc12,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=_F32,
+    )  # batched [N, 64, 64]
+    ok = (t > 0.5) & v2[:, None, :] & ~c02
+    return jnp.any(ok, axis=(1, 2))
+
+
+def _valid_on_flat(flat_bf16: jnp.ndarray, piece_id: jnp.ndarray) -> jnp.ndarray:
+    """Validity of one piece per board over flat bf16 boards.
+
+    Args:
+      flat_bf16: [N, 64] bf16 boards (0/1).
+      piece_id: [N] int32.
+    Returns:
+      [N, 64] bool.
+    """
+    occ = PLACEMENT_BF16[piece_id]  # [N, 64, 64]
+    overlap = jax.lax.dot_general(
+        occ,
+        flat_bf16,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=_F32,
+    )  # [N, 64]
+    return ANCHOR_OK[piece_id] & (overlap < 0.5)
+
+
+def solvable_full(board: jnp.ndarray, piece_ids: jnp.ndarray) -> jnp.ndarray:
+    """Exact check with simulated line clears between placements.
+
+    Mirrors the reference recursion (`engine.py:181-238`) as an exhaustive,
+    statically-shaped evaluation:
+      for each ordered (first, second) slot pair (6 static combos):
+        place first piece at every anchor -> clear
+        fori over first anchors: place second at every anchor -> clear
+        third piece: any valid anchor remains?
+
+    Args:
+      board: [N, 8, 8] uint8.
+      piece_ids: [N, 3] int32.
+    Returns:
+      [N] bool.
+    """
+    n = board.shape[0]
+    flat = board.reshape(n, NUM_CELLS).astype(jnp.uint8)
+    ok = jnp.zeros(n, dtype=bool)
+
+    for i in range(3):
+        p = piece_ids[:, i]
+        occ1 = PLACEMENT[p]  # [N, 64, 64] bool
+        v1 = _valid_on_flat(flat.astype(jnp.bfloat16), p)  # [N, 64]
+        # Boards after placing piece i at each anchor, with clears applied.
+        b1 = clear_lines_flat(flat[:, None, :] | occ1.astype(jnp.uint8))
+        b1_bf16 = b1.astype(jnp.bfloat16)  # [N, 64, 64]
+
+        rest = [j for j in range(3) if j != i]
+        for j in rest:
+            k = rest[0] if rest[1] == j else rest[1]
+            q = piece_ids[:, j]
+            r = piece_ids[:, k]
+            occ2 = PLACEMENT_BF16[q]  # [N, 64, 64]
+            occ2_u8 = PLACEMENT[q].astype(jnp.uint8)
+            occ3 = PLACEMENT_BF16[r]
+            anchor_ok_r = ANCHOR_OK[r]  # [N, 64]
+
+            # valid2[n, a1, a2]: piece j fits at a2 on the board after (i@a1).
+            ov2 = jax.lax.dot_general(
+                b1_bf16,
+                occ2,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=_F32,
+            )  # [N, a1, a2]
+            v2 = ANCHOR_OK[q][:, None, :] & (ov2 < 0.5) & v1[:, :, None]
+
+            def body(a1, acc, b1=b1, occ2_u8=occ2_u8, occ3=occ3, v2=v2,
+                     anchor_ok_r=anchor_ok_r):
+                # Boards after (i@a1, j@a2) for all a2, with clears.
+                base = jax.lax.dynamic_index_in_dim(b1, a1, axis=1, keepdims=False)
+                b2 = clear_lines_flat(base[:, None, :] | occ2_u8)  # [N, a2, 64]
+                ov3 = jax.lax.dot_general(
+                    b2.astype(jnp.bfloat16),
+                    occ3,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=_F32,
+                )  # [N, a2, a3]
+                v3_any = jnp.any(anchor_ok_r[:, None, :] & (ov3 < 0.5), axis=2)
+                v2_a1 = jax.lax.dynamic_index_in_dim(v2, a1, axis=1, keepdims=False)
+                return acc | jnp.any(v2_a1 & v3_any, axis=1)
+
+            ok = ok | jax.lax.fori_loop(0, NUM_CELLS, body, jnp.zeros(n, bool))
+
+    return ok
+
+
+def solvable(
+    board: jnp.ndarray,
+    all_valid: jnp.ndarray,
+    piece_ids: jnp.ndarray,
+    pending: jnp.ndarray,
+) -> jnp.ndarray:
+    """Fast-or-full solvability for the lanes in `pending`.
+
+    Args:
+      board: [N, 8, 8] uint8.
+      all_valid: [N, 37, 64] precomputed validity (board is fixed during a
+        regen retry loop, so the caller hoists this).
+      piece_ids: [N, 3] int32 candidate draws.
+      pending: [N] bool — lanes whose draw still needs a verdict.
+    Returns:
+      [N] bool — solvable verdict (meaningful where `pending`).
+    """
+    v3 = gather_piece_validity(all_valid, piece_ids)
+    fast = solvable_disjoint(v3, piece_ids)
+    need_full = pending & ~fast
+
+    full = jax.lax.cond(
+        jnp.any(need_full),
+        lambda: solvable_full(board, piece_ids),
+        lambda: jnp.zeros(board.shape[0], dtype=bool),
+    )
+    return fast | full

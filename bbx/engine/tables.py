@@ -1,0 +1,42 @@
+"""Device-resident constant tables derived from the piece catalogue.
+
+These are the JAX-side views of the NumPy tables in `bbx.engine.pieces`.
+They are module-level constants: under `jit` they are embedded once and live
+in HBM; XLA folds them into the fused step computation.
+
+Key tensors:
+  * ``OCC_T`` [64, 37*64] — transposed flat occupancy.  ``board @ OCC_T``
+    yields, for every (piece, anchor) pair at once, the number of overlapping
+    cells: the entire "can this piece go here" scan of the reference
+    (`board.py:71-93`, `engine.py:364-380`) becomes a single MXU matmul.
+  * ``PAIR_CONFLICT`` [37, 37, 64, 64] — whether two anchored pieces share a
+    cell; powers the disjoint-placement solvability fast path.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import pieces as P
+
+BOARD_SIZE = P.BOARD_SIZE
+NUM_CELLS = P.NUM_CELLS
+PIECES_PER_TURN = P.PIECES_PER_TURN
+NUM_ACTIONS = P.NUM_ACTIONS
+NUM_PIECE_TYPES = P.NUM_PIECE_TYPES
+
+# Core geometry tables.
+PIECE_MASKS = jnp.asarray(P.PIECE_MASKS)                    # [37, 8, 8] f32
+PIECE_NBLOCKS = jnp.asarray(P.PIECE_NBLOCKS)                # [37] i32
+ANCHOR_OK = jnp.asarray(P.ANCHOR_OK)                        # [37, 64] bool
+PLACEMENT = jnp.asarray(P.PLACEMENT)                        # [37, 64, 64] bool
+PAIR_CONFLICT = jnp.asarray(P.PAIR_CONFLICT)                # [37, 37, 64, 64] bool
+
+# Occupancy reshaped for the all-pieces overlap matmul.  bfloat16 keeps the
+# contraction on the MXU; overlap counts are <= 9 so bf16 is exact.
+OCC_FLAT = PLACEMENT.reshape(NUM_PIECE_TYPES * NUM_CELLS, NUM_CELLS)
+OCC_T_BF16 = OCC_FLAT.astype(jnp.bfloat16).T               # [64, 2368]
+PLACEMENT_BF16 = PLACEMENT.astype(jnp.bfloat16)             # [37, 64, 64]
+
+# Inverted conflict in bf16 for the fast-path matmul.
+NO_CONFLICT_BF16 = (~P.PAIR_CONFLICT).astype("float32")
+NO_CONFLICT_BF16 = jnp.asarray(NO_CONFLICT_BF16, dtype=jnp.bfloat16)

@@ -1,0 +1,22 @@
+"""Environment layer (L2): device-native vectorized env + gym-style wrappers."""
+from .single import BlockBlastEnv, BlockBlastEnvFlat, register_gym_envs
+from .vector import (
+    FrameStackVecEnv,
+    NormalizedRewardVecEnv,
+    RunningMeanStd,
+    VectorEnv,
+    make_vec_env,
+    sample_valid_actions_device,
+)
+
+__all__ = [
+    "BlockBlastEnv",
+    "BlockBlastEnvFlat",
+    "FrameStackVecEnv",
+    "NormalizedRewardVecEnv",
+    "RunningMeanStd",
+    "VectorEnv",
+    "make_vec_env",
+    "register_gym_envs",
+    "sample_valid_actions_device",
+]

@@ -1,0 +1,34 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Must set the XLA flags before jax is imported anywhere (SURVEY.md §4: the
+multi-device test strategy for the TPU build).
+"""
+import os
+import sys
+
+# Hard-set (not setdefault): the ambient environment pins JAX_PLATFORMS to
+# the TPU plugin, and tests must never contend for the single TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/bbx-jax-cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def reference_src():
+    """Path to the reference implementation's `src/`, for differential tests.
+
+    Returns None (tests skip) if the reference tree is unavailable.
+    """
+    path = "/root/reference/src"
+    if not os.path.isdir(path):
+        return None
+    return path
