@@ -1,0 +1,35 @@
+"""Training CLI (reference: `run_train.py` + `scripts/train.py`)."""
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Train the Block Blast PPO agent")
+    ap.add_argument("--config", default="config/default.yaml")
+    ap.add_argument("--resume", default=None, help="checkpoint to resume from")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--total-timesteps", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from ..agent.trainer import train
+    from ..parallel.distributed import initialize_multihost
+    from ..utils.config import load_config
+
+    initialize_multihost()
+    config = load_config(args.config)
+    stats = train(
+        config,
+        resume_path=args.resume,
+        seed=args.seed,
+        total_timesteps=args.total_timesteps,
+    )
+    print(f"done: {stats['global_step']:,} steps in "
+          f"{stats['elapsed_sec']:.1f}s "
+          f"({stats['steps_per_sec']:.0f} steps/s), "
+          f"best avg score {stats['best_score']:.1f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -24,8 +24,14 @@ BOARD_SIZE = 8
 NUM_PIECES_PER_TURN = 3
 ACTION_SPACE_SIZE = NUM_ACTIONS
 
+try:  # inherit gymnasium.Env when available (required by gym.make)
+    import gymnasium as _gym
+    _EnvBase = _gym.Env
+except ImportError:  # pragma: no cover - gymnasium is optional
+    _EnvBase = object
 
-class BlockBlastEnv:
+
+class BlockBlastEnv(_EnvBase):
     """Gymnasium-compatible Block Blast environment (single instance).
 
     Observation: {'board' (8,8) f32, 'pieces' (3,8,8) f32,
