@@ -1,4 +1,6 @@
 """Agent layer (L4): PPO with GAE, fully on-device."""
+from .base import BaseAgent
+from .policy_agent import PolicyAgent
 from .ppo import (
     PPOConfig,
     TrainState,
@@ -11,7 +13,13 @@ from .ppo import (
     update,
 )
 
+from .trainer import PPOTrainer, train
+
 __all__ = [
+    "BaseAgent",
+    "PPOTrainer",
+    "PolicyAgent",
+    "train",
     "PPOConfig",
     "TrainState",
     "compute_gae",

@@ -39,6 +39,8 @@ from .tables import (
 
 _F32 = jnp.float32
 
+GATHER_LANES = 128  # failing lanes resolved per full-search pass
+
 
 def solvable_disjoint(valid3: jnp.ndarray, piece_ids: jnp.ndarray) -> jnp.ndarray:
     """Sufficient check: three pairwise-disjoint valid placements exist.
@@ -91,23 +93,35 @@ def _valid_on_flat(flat_bf16: jnp.ndarray, piece_id: jnp.ndarray) -> jnp.ndarray
     return ANCHOR_OK[piece_id] & (overlap < 0.5)
 
 
-def solvable_full(board: jnp.ndarray, piece_ids: jnp.ndarray) -> jnp.ndarray:
+def solvable_full(
+    board: jnp.ndarray, piece_ids: jnp.ndarray, a1_block: int | None = None
+) -> jnp.ndarray:
     """Exact check with simulated line clears between placements.
 
     Mirrors the reference recursion (`engine.py:181-238`) as an exhaustive,
-    statically-shaped evaluation:
-      for each ordered (first, second) slot pair (6 static combos):
-        place first piece at every anchor -> clear
-        fori over first anchors: place second at every anchor -> clear
-        third piece: any valid anchor remains?
+    statically-shaped evaluation: for each ordered (first, second) slot pair
+    (6 static combos), place the first piece at every anchor -> clear, place
+    the second at every anchor -> clear, and ask whether the third piece has
+    any valid anchor left.
+
+    First-anchor positions are processed in blocks of `a1_block` so the
+    second-stage boards stay a bounded [N, a1_block, 64, 64] tensor while the
+    contraction stays a large MXU-friendly batched matmul (a1_block=64 folds
+    the loop away entirely — right for small gathered batches).
 
     Args:
       board: [N, 8, 8] uint8.
       piece_ids: [N, 3] int32.
+      a1_block: anchors per block (divides 64); default 64 for N<=512 else 8.
     Returns:
       [N] bool.
     """
     n = board.shape[0]
+    if a1_block is None:
+        a1_block = 64 if n <= 512 else 8
+    assert NUM_CELLS % a1_block == 0
+    num_blocks = NUM_CELLS // a1_block
+
     flat = board.reshape(n, NUM_CELLS).astype(jnp.uint8)
     ok = jnp.zeros(n, dtype=bool)
 
@@ -138,22 +152,36 @@ def solvable_full(board: jnp.ndarray, piece_ids: jnp.ndarray) -> jnp.ndarray:
             )  # [N, a1, a2]
             v2 = ANCHOR_OK[q][:, None, :] & (ov2 < 0.5) & v1[:, :, None]
 
-            def body(a1, acc, b1=b1, occ2_u8=occ2_u8, occ3=occ3, v2=v2,
-                     anchor_ok_r=anchor_ok_r):
-                # Boards after (i@a1, j@a2) for all a2, with clears.
-                base = jax.lax.dynamic_index_in_dim(b1, a1, axis=1, keepdims=False)
-                b2 = clear_lines_flat(base[:, None, :] | occ2_u8)  # [N, a2, 64]
+            def block_body(blk, acc, b1=b1, occ2_u8=occ2_u8, occ3=occ3,
+                           v2=v2, anchor_ok_r=anchor_ok_r):
+                # Boards after (i@a1, j@a2) for a1 in this block, all a2.
+                base = jax.lax.dynamic_slice_in_dim(
+                    b1, blk * a1_block, a1_block, axis=1
+                )  # [N, B, 64]
+                b2 = clear_lines_flat(
+                    base[:, :, None, :] | occ2_u8[:, None, :, :]
+                )  # [N, B, a2, 64]
                 ov3 = jax.lax.dot_general(
-                    b2.astype(jnp.bfloat16),
+                    b2.reshape(n, a1_block * NUM_CELLS, NUM_CELLS
+                               ).astype(jnp.bfloat16),
                     occ3,
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=_F32,
-                )  # [N, a2, a3]
-                v3_any = jnp.any(anchor_ok_r[:, None, :] & (ov3 < 0.5), axis=2)
-                v2_a1 = jax.lax.dynamic_index_in_dim(v2, a1, axis=1, keepdims=False)
-                return acc | jnp.any(v2_a1 & v3_any, axis=1)
+                ).reshape(n, a1_block, NUM_CELLS, NUM_CELLS)  # [N,B,a2,a3]
+                v3_any = jnp.any(
+                    anchor_ok_r[:, None, None, :] & (ov3 < 0.5), axis=3
+                )  # [N, B, a2]
+                v2_blk = jax.lax.dynamic_slice_in_dim(
+                    v2, blk * a1_block, a1_block, axis=1
+                )
+                return acc | jnp.any(v2_blk & v3_any, axis=(1, 2))
 
-            ok = ok | jax.lax.fori_loop(0, NUM_CELLS, body, jnp.zeros(n, bool))
+            if num_blocks == 1:
+                ok = ok | block_body(0, jnp.zeros(n, bool))
+            else:
+                ok = ok | jax.lax.fori_loop(
+                    0, num_blocks, block_body, jnp.zeros(n, bool)
+                )
 
     return ok
 
@@ -166,6 +194,13 @@ def solvable(
 ) -> jnp.ndarray:
     """Fast-or-full solvability for the lanes in `pending`.
 
+    The exact full search only ever sees the (few) lanes whose draw failed
+    the disjoint-placement fast path: failing lanes are compacted into a
+    fixed [GATHER_LANES]-sized buffer (argsort on the failure mask), resolved
+    with the fully-vectorized small-batch search, and scattered back.  A
+    while-loop repeats the pass in the (practically unreachable) event that
+    more than GATHER_LANES lanes fail at once, so the predicate stays exact.
+
     Args:
       board: [N, 8, 8] uint8.
       all_valid: [N, 37, 64] precomputed validity (board is fixed during a
@@ -175,13 +210,44 @@ def solvable(
     Returns:
       [N] bool — solvable verdict (meaningful where `pending`).
     """
+    n = board.shape[0]
     v3 = gather_piece_validity(all_valid, piece_ids)
     fast = solvable_disjoint(v3, piece_ids)
     need_full = pending & ~fast
 
+    if n <= GATHER_LANES:
+        full = jax.lax.cond(
+            jnp.any(need_full),
+            lambda: solvable_full(board, piece_ids) & need_full,
+            lambda: jnp.zeros(n, dtype=bool),
+        )
+        return fast | full
+
+    k = GATHER_LANES
+
+    def resolve_all():
+        def cond(carry):
+            _, remaining = carry
+            return jnp.any(remaining)
+
+        def body(carry):
+            full, remaining = carry
+            # Failing lanes first (False sorts before True in ~remaining).
+            idx = jnp.argsort(~remaining)[:k]
+            ok_k = solvable_full(board[idx], piece_ids[idx], a1_block=64)
+            hit = remaining[idx]  # which gathered slots held real work
+            full = full.at[idx].set((ok_k & hit) | full[idx])
+            remaining = remaining.at[idx].set(remaining[idx] & ~hit)
+            return full, remaining
+
+        full, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros(n, bool), need_full)
+        )
+        return full
+
     full = jax.lax.cond(
         jnp.any(need_full),
-        lambda: solvable_full(board, piece_ids),
-        lambda: jnp.zeros(board.shape[0], dtype=bool),
+        resolve_all,
+        lambda: jnp.zeros(n, dtype=bool),
     )
     return fast | full

@@ -89,6 +89,39 @@ def test_unsolvable_board():
     assert not bool(ok[0])
 
 
+def test_gathered_full_path_exactness():
+    """`solvable` on a large batch (gather/scatter path) must equal per-lane
+    full search, including when some lanes need clears and some don't."""
+    rng = np.random.default_rng(11)
+    n = 300  # > GATHER_LANES to exercise the compacted path
+    boards = np.zeros((n, 8, 8), np.uint8)
+    ids = rng.integers(0, 37, size=(n, 3)).astype(np.int32)
+    single = P.NAME_TO_INDEX["SINGLE"]
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:
+            boards[i] = (rng.random((8, 8)) < 0.5)
+        elif kind == 1:
+            # one free cell: singles solvable only via clears
+            boards[i] = 1
+            boards[i, 0, 0] = 0
+            ids[i] = [single] * 3
+        else:
+            # two isolated free cells: three singles unsolvable
+            boards[i] = 1
+            boards[i, 0, 0] = 0
+            boards[i, 4, 4] = 0
+            ids[i] = [single] * 3
+
+    board = jnp.asarray(boards)
+    idsj = jnp.asarray(ids)
+    got = S.solvable(board, K.valid_anchors_all_pieces(board), idsj,
+                     jnp.ones(n, bool))
+    expected = S.solvable_full(board, idsj, a1_block=8)
+    # fast path can only add lanes that full search also accepts
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
 def test_differential_vs_reference(reference_src):
     if reference_src is None:
         pytest.skip("reference unavailable")
