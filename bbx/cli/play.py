@@ -129,7 +129,8 @@ def main(argv=None) -> int:
                     default="manual")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--config", default=None)
-    ap.add_argument("--games", type=int, default=1)
+    ap.add_argument("--games", type=int, default=None,
+                    help="number of games (default: 1 for watch, 10 for random)")
     ap.add_argument("--delay", type=float, default=0.3)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--stochastic", action="store_true")
@@ -138,13 +139,13 @@ def main(argv=None) -> int:
     if args.mode == "watch":
         if not args.checkpoint:
             ap.error("--checkpoint required for watch mode")
-        watch(args.checkpoint, args.config, games=args.games,
+        watch(args.checkpoint, args.config, games=args.games or 1,
               delay=args.delay, deterministic=not args.stochastic,
               seed=args.seed)
     elif args.mode == "manual":
         manual(seed=args.seed)
     else:
-        random_games(games=max(args.games, 10), seed=args.seed)
+        random_games(games=args.games or 10, seed=args.seed)
     return 0
 
 

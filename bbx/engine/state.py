@@ -13,8 +13,8 @@ import jax.numpy as jnp
 import jax.random as jr
 from flax import struct
 
-from .kernel import empty_boards, valid_anchors_all_pieces
-from .solvability import solvable
+from .kernel import empty_boards, gather_piece_validity, valid_anchors_all_pieces
+from .solvability import solvable, solvable_disjoint
 from .tables import ANCHOR_OK, NUM_PIECE_TYPES, PIECES_PER_TURN
 
 MAX_REGEN_ATTEMPTS = 100  # reference cap, `engine.py:161`
@@ -75,6 +75,9 @@ def fresh_pieces(keys: jnp.ndarray) -> jnp.ndarray:
     return _draw(keys)
 
 
+REGEN_BUFFER = 512  # lanes verdicted/redrawn per compacted retry pass
+
+
 def regen_pieces(
     board: jnp.ndarray,
     all_valid: jnp.ndarray,
@@ -85,13 +88,22 @@ def regen_pieces(
     """Redraw piece triples until solvable, for the lanes in `need`.
 
     Faithful to `engine._generate_new_pieces` (`engine.py:155-172`): up to
-    `MAX_REGEN_ATTEMPTS` draws; if none passes the solvability check the last
-    draw is kept (the game then ends naturally).
+    `MAX_REGEN_ATTEMPTS` draws per lane; if none passes the solvability check
+    the last draw is kept (the game then ends naturally).
 
-    The loop runs at batch level (`lax.while_loop` with an any() predicate):
-    lanes that already accepted keep both their ids and their RNG stream
-    untouched, so per-lane results are independent of other lanes' retry
-    counts (batch-of-N == N batches-of-1).
+    Structure is chosen for the batched lockstep setting, where ~N/3 lanes
+    regen every step but only a few percent of draws need more than the
+    cheap screens:
+      * Pass 1 (full batch): one draw per needy lane + the disjoint fast
+        path.  Accepts ~2/3 of lanes in one shot with two batched matmuls.
+      * Retry loop (compacted): surviving lanes are gathered into a fixed
+        [REGEN_BUFFER] buffer; each iteration gives the gathered candidates
+        their exact verdict (screens + compacted exhaustive search) and
+        redraws the rejected — so per-iteration cost is bounded by the
+        buffer size, never the fleet size.
+
+    Per-lane results are independent of other lanes' retry counts: a lane's
+    ids/rng are only touched on its own draws (batch-of-N == N batches-of-1).
 
     Args:
       board: [N, 8, 8] uint8 (fixed during the retry loop).
@@ -102,25 +114,48 @@ def regen_pieces(
     Returns:
       (new_piece_ids [N,3], new_rng [N]).
     """
+    n = board.shape[0]
+
+    # ---- Pass 1: one draw + disjoint screen, full batch ----
+    split = jax.vmap(lambda k: jr.split(k, 2))(rng)
+    rng = jnp.where(need, split[:, 0], rng)
+    draw = _draw(split[:, 1])
+    ids = jnp.where(need[:, None], draw, piece_ids)
+    v3 = gather_piece_validity(all_valid, ids)
+    fast = solvable_disjoint(v3, ids)
+    pending = need & ~fast          # candidate drawn, verdict unknown
+    attempts = need.astype(jnp.int32)
+
+    k = min(REGEN_BUFFER, n)
 
     def cond(carry):
-        attempt, _ids, accepted, _rng = carry
-        return (attempt < MAX_REGEN_ATTEMPTS) & jnp.any(~accepted)
+        _ids, _rng, pending, _att = carry
+        return jnp.any(pending)
 
     def body(carry):
-        attempt, ids, accepted, rng = carry
-        pending = ~accepted
-        split = jax.vmap(lambda k: jr.split(k, 2))(rng)
-        new_rng = jnp.where(pending, split[:, 0], rng)
-        draw_keys = split[:, 1]
-        draw = _draw(draw_keys)
-        ids = jnp.where(pending[:, None], draw, ids)
-        ok = solvable(board, all_valid, ids, pending)
-        accepted = accepted | (pending & ok)
-        return attempt + 1, ids, accepted, new_rng
+        ids, rng, pending, attempts = carry
+        idx = jax.lax.top_k(pending.astype(jnp.float32), k)[1]
+        live = pending[idx]
+        sids = ids[idx]
+        ok = solvable(board[idx], all_valid[idx], sids, live) & live
+        rejected = live & ~ok
+        retry = rejected & (attempts[idx] < MAX_REGEN_ATTEMPTS)
+        # exhausted lanes keep their last (unsolvable) draw — engine.py:170-172
 
-    init = (jnp.int32(0), piece_ids, ~need, rng)
-    _, ids, _, rng = jax.lax.while_loop(cond, body, init)
+        sp = jax.vmap(lambda q: jr.split(q, 2))(rng[idx])
+        new_rng_k = jnp.where(retry, sp[:, 0], rng[idx])
+        draw_k = _draw(sp[:, 1])
+        ids_k = jnp.where(retry[:, None], draw_k, sids)
+
+        ids = ids.at[idx].set(ids_k)
+        rng = rng.at[idx].set(new_rng_k)
+        pending = pending.at[idx].set(retry)
+        attempts = attempts.at[idx].add(retry.astype(jnp.int32))
+        return ids, rng, pending, attempts
+
+    ids, rng, _, _ = jax.lax.while_loop(
+        cond, body, (ids, rng, pending, attempts)
+    )
     return ids, rng
 
 

@@ -40,3 +40,15 @@ PLACEMENT_BF16 = PLACEMENT.astype(jnp.bfloat16)             # [37, 64, 64]
 # Inverted conflict in bf16 for the fast-path matmul.
 NO_CONFLICT_BF16 = (~P.PAIR_CONFLICT).astype("float32")
 NO_CONFLICT_BF16 = jnp.asarray(NO_CONFLICT_BF16, dtype=jnp.bfloat16)
+
+# Per-line cell counts of each anchored piece: placing piece p at anchor a on
+# a board it does not overlap completes row r iff
+# ``rowsum[r] + ROW_COUNT[p, a, r] == 8`` (and likewise for columns).  These
+# power the clear-prediction screens in `bbx.engine.solvability` without
+# simulating a single placement.
+_PL_GRID = P.PLACEMENT.reshape(
+    NUM_PIECE_TYPES, NUM_CELLS, BOARD_SIZE, BOARD_SIZE
+)
+ROW_COUNT = jnp.asarray(_PL_GRID.sum(axis=3), dtype=jnp.int32)  # [37, 64, 8]
+COL_COUNT = jnp.asarray(_PL_GRID.sum(axis=2), dtype=jnp.int32)  # [37, 64, 8]
+del _PL_GRID

@@ -17,6 +17,16 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The sandbox boot hook (`sitecustomize.py` on sys.path) imports jax and
+# registers the TPU-tunnel PJRT plugin at *interpreter startup*, so the env
+# vars above are read too late.  Override via jax.config after import — the
+# backend client itself is not initialized until first use, so this still
+# takes effect and pins the suite to an 8-device virtual CPU platform.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402

@@ -152,3 +152,36 @@ def test_differential_vs_reference(reference_src):
     ok = S.solvable(board, K.valid_anchors_all_pieces(board), ids,
                     jnp.ones(len(expected), bool))
     np.testing.assert_array_equal(np.asarray(ok), np.array(expected))
+
+
+def test_screens_sound_against_full_search():
+    """The accept screen only accepts solvable triples, the reject screen
+    only rejects unsolvable ones, and the composed `solvable` equals the
+    exhaustive search — over random boards biased toward the fills where the
+    screens actually fire (clear-dependent / stuck draws)."""
+    rng = np.random.default_rng(123)
+    n = 400
+    boards = (rng.random((n, 8, 8)) < rng.uniform(0.35, 0.8, (n, 1, 1))
+              ).astype(np.uint8)
+    ids = jnp.asarray(rng.integers(0, 37, size=(n, 3)).astype(np.int32))
+    board = jnp.asarray(boards)
+    av = K.valid_anchors_all_pieces(board)
+    v3 = K.gather_piece_validity(av, ids)
+
+    exact = np.asarray(S.solvable_full(board, ids, a1_block=8))
+    cand = S.clear_candidates(board, ids, v3)
+    s1 = np.asarray(S.solvable_clear1(board, ids, cand))
+    rej = np.asarray(S.unsolvable_certain(board, ids, v3, cand))
+    fast = np.asarray(S.solvable_disjoint(v3, ids))
+
+    # soundness: accept screen => solvable; reject screen => not solvable
+    # (reject is only claimed for lanes that failed the disjoint path).
+    assert not np.any(s1 & ~exact), "accept screen accepted unsolvable"
+    assert not np.any(rej & ~fast & exact), "reject screen rejected solvable"
+
+    # the composed pipeline is exact
+    got = np.asarray(S.solvable(board, av, ids, jnp.ones(n, bool)))
+    np.testing.assert_array_equal(got, exact)
+
+    # make sure this distribution actually exercises every tier
+    assert s1.sum() > 0 and (rej & ~fast).sum() > 0 and fast.sum() > 0
