@@ -140,6 +140,8 @@ def main(argv=None) -> int:
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--num-envs", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=64,
+                    help="steps per chunk for the vectorized benchmarks")
     args = ap.parse_args(argv)
 
     run_all = args.all or not any(
@@ -151,7 +153,7 @@ def main(argv=None) -> int:
     if args.env or run_all:
         results.append(bench_single_env())
     if args.vec_env or run_all:
-        results.append(bench_vec_env(num_envs=args.num_envs))
+        results.append(bench_vec_env(num_envs=args.num_envs, steps=args.steps))
     if args.network or run_all:
         results.append(bench_network())
     if args.train or run_all:

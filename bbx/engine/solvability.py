@@ -328,6 +328,257 @@ def solvable_full(
     return ok
 
 
+# Ordered slot pairs (first, second) with the implied third slot, for the
+# stage-2-first-clear exploration.
+_PAIRS = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1))
+_PAIR_A = jnp.array([p[0] for p in _PAIRS], jnp.int32)
+_PAIR_B = jnp.array([p[1] for p in _PAIRS], jnp.int32)
+_PAIR_C = jnp.array([3 - p[0] - p[1] for p in _PAIRS], jnp.int32)
+
+ALPHA_COMBOS = 8  # clearing-single placements simulated per pass
+BETA_BLOCKS = 8   # join-clear (pair, first-anchor) groups simulated per pass
+
+
+def solvable_exact(
+    board: jnp.ndarray,
+    piece_ids: jnp.ndarray,
+    valid3: jnp.ndarray,
+    need: jnp.ndarray,
+) -> jnp.ndarray:
+    """Exact verdict for lanes that already failed the disjoint fast path.
+
+    Built on a case split by *when the first line clear happens* in a
+    solution order (see `unsolvable_certain` for the proof sketch; the
+    reference recursion is `engine.py:174-238`):
+
+      * never / stage 3 — implies a disjoint triple on the original board,
+        which the caller has already ruled out;
+      * stage 1 (α) — some piece has a valid line-completing placement;
+        simulate its cleared board and ask whether the remaining pair is
+        placeable there (disjoint pair, or second-clear simulation);
+      * stage 2 (β) — a disjoint valid pair, first placement non-clearing,
+        whose union completes a line; simulate the cleared union board and
+        ask whether the third piece fits.
+
+    Both candidate sets are predicted from ROW_COUNT/COL_COUNT tables
+    without simulation and are small in practice, so each pass simulates at
+    most ALPHA_COMBOS clearing singles and BETA_BLOCKS join-clear groups per
+    lane; a while-loop continues until every candidate is explored or the
+    lane is proven solvable — the verdict is exact, not a screen.
+
+    TPU shape discipline (learned from the op profile): per-lane piece
+    geometry is gathered ONCE ([N,3,64,64] and the six ordered no-conflict
+    planes built from three gathers + transposes), and every contraction is
+    a true batched matmul — the naive per-(lane,combo) mat-vec forms get
+    decomposed by XLA into f32 multiply+reduce over [N*M,64,64] tensors,
+    which dominated the step at ~10 ms/pass.
+
+    Args:
+      board: [N, 8, 8] uint8.
+      piece_ids: [N, 3] int32.
+      valid3: [N, 3, 64] bool.
+      need: [N] bool.
+    Returns:
+      [N] bool — exact solvability, False wherever ~need.
+    """
+    n = board.shape[0]
+    flat = board.reshape(n, NUM_CELLS).astype(jnp.uint8)
+    rowsum = jnp.sum(board.astype(jnp.int32), axis=2)  # [N, 8]
+    colsum = jnp.sum(board.astype(jnp.int32), axis=1)
+    rc = ROW_COUNT[piece_ids]  # [N, 3, 64, 8]
+    cc = COL_COUNT[piece_ids]
+
+    # α candidates: valid single clearing placements, [N, 3, 64].
+    cand1 = valid3 & (
+        jnp.any(rowsum[:, None, None, :] + rc == BOARD_SIZE, axis=-1)
+        | jnp.any(colsum[:, None, None, :] + cc == BOARD_SIZE, axis=-1)
+    )
+
+    # β candidates: ordered pairs, non-clearing first, union completes a
+    # line, [N, 6, 64, 64] (first-anchor, second-anchor).
+    cand_b = []
+    for a, b in _PAIRS:
+        pa, pb = piece_ids[:, a], piece_ids[:, b]
+        row_u = jnp.any(
+            rowsum[:, None, None, :] + rc[:, a][:, :, None, :]
+            + rc[:, b][:, None, :, :] == BOARD_SIZE,
+            axis=-1,
+        )
+        col_u = jnp.any(
+            colsum[:, None, None, :] + cc[:, a][:, :, None, :]
+            + cc[:, b][:, None, :, :] == BOARD_SIZE,
+            axis=-1,
+        )
+        cand_b.append(
+            (valid3[:, a] & ~cand1[:, a])[:, :, None]
+            & valid3[:, b][:, None, :]
+            & ~PAIR_CONFLICT[pa, pb]
+            & (row_u | col_u)
+        )
+    cand_b = jnp.stack(cand_b, axis=1)                 # [N, 6, 64, 64]
+    cand_b_flat = cand_b.reshape(n, 6 * NUM_CELLS, NUM_CELLS)
+
+    rem_a0 = cand1.reshape(n, PIECES_PER_TURN * NUM_CELLS) & need[:, None]
+    rem_b0 = jnp.any(cand_b, axis=3).reshape(n, 6 * NUM_CELLS) & need[:, None]
+    rows = jnp.arange(n)[:, None]
+    dn_cells1 = (((2,), (2,)), ((0,), (0,)))     # [N,A,64c] x [N,B,64c]
+    dn_pair = (((3,), (2,)), ((0, 1), (0, 1)))   # [N,6,64,64] x [N,6,64,M]
+    dn3 = (((3,), (3,)), ((0, 1), (0, 1)))       # contract cells of 4-d pairs
+
+    # ---- per-lane piece geometry, gathered once ----
+    occ3b = PLACEMENT[piece_ids]                 # [N, 3, 64, 64] bool
+    occ3f = occ3b.astype(_BF16)
+    occ3_flat = occ3f.reshape(n, PIECES_PER_TURN * NUM_CELLS, NUM_CELLS)
+    aok3 = ANCHOR_OK[piece_ids]                  # [N, 3, 64]
+    # Six ordered no-conflict planes from three gathers + transposes
+    # (conflict is symmetric: NC[y,x] = NC[x,y]^T).
+    nc01 = NO_CONFLICT_BF16[piece_ids[:, 0], piece_ids[:, 1]]
+    nc02 = NO_CONFLICT_BF16[piece_ids[:, 0], piece_ids[:, 2]]
+    nc12 = NO_CONFLICT_BF16[piece_ids[:, 1], piece_ids[:, 2]]
+    nc_stack = jnp.stack(
+        [nc01, nc01.transpose(0, 2, 1), nc02, nc02.transpose(0, 2, 1),
+         nc12, nc12.transpose(0, 2, 1)], axis=1,
+    )                                            # [N, 6, 64(aq), 64(ar)]
+    # vall row for each ordered pair's second piece: _PAIRS[d][1].
+    _y_idx = jnp.array([p[1] for p in _PAIRS], jnp.int32)
+    # (slot, order) -> ordered-pair index d with (q,r)=((s+1+o)%3,(s+2-o)%3).
+    _d_of = {p: d for d, p in enumerate(_PAIRS)}
+    d_table = jnp.array(
+        [[_d_of[((s + 1 + o) % 3, (s + 2 - o) % 3)] for o in (0, 1)]
+         for s in range(3)], jnp.int32,
+    )                                            # [3, 2]
+
+    def cond(carry):
+        ok, rem_a, rem_b = carry
+        live = ~ok[:, None]
+        return jnp.any(rem_a & live) | jnp.any(rem_b & live)
+
+    def body(carry):
+        ok, rem_a, rem_b = carry
+        live = ~ok[:, None]
+
+        # ---- α: clearing single, then the remaining pair on the cleared
+        # board (disjoint, or second-clear simulated) ----
+        sa_val, sa_idx = jax.lax.top_k(
+            (rem_a & live).astype(_F32), ALPHA_COMBOS
+        )
+        a_live = sa_val > 0.5                           # [N, M]
+        slot = sa_idx // NUM_CELLS
+        occ1 = jnp.take_along_axis(
+            occ3b.reshape(n, PIECES_PER_TURN * NUM_CELLS, NUM_CELLS),
+            sa_idx[:, :, None], axis=1,
+        )                                               # [N, M, 64]
+        b1 = clear_lines_flat(flat[:, None, :] | occ1.astype(jnp.uint8))
+        b1f = b1.astype(_BF16)                          # [N, M, 64]
+        g1 = b1.reshape(n, ALPHA_COMBOS, BOARD_SIZE, BOARD_SIZE)
+        rs1 = jnp.sum(g1.astype(jnp.int32), axis=-1)    # [N, M, 8]
+        cs1 = jnp.sum(g1.astype(jnp.int32), axis=-2)
+
+        # Validity of all 3 drawn pieces on all M cleared boards in ONE
+        # lane-batched matmul: [192, 64] @ [64, M].
+        ov_all = jax.lax.dot_general(
+            occ3_flat, b1f, dn_cells1, preferred_element_type=_F32
+        )                                               # [N, 192, M]
+        vall = (
+            aok3.reshape(n, PIECES_PER_TURN * NUM_CELLS)[:, :, None]
+            & (ov_all < 0.5)
+        ).reshape(n, PIECES_PER_TURN, NUM_CELLS, ALPHA_COMBOS)
+        vall_t = vall.transpose(0, 3, 1, 2)             # [N, M, 3, 64]
+        # Disjoint-pair reach for all six ordered pairs at once:
+        # t[d][aq, m] = sum_ar nc_d[aq, ar] * vall[y_d][ar, m].
+        vall_y = vall[:, _y_idx].astype(_BF16)          # [N, 6, 64, M]
+        t_stack = jax.lax.dot_general(
+            nc_stack, vall_y, dn_pair, preferred_element_type=_F32
+        )                                               # [N, 6, 64, M]
+        t_stack_t = t_stack.transpose(0, 3, 1, 2)       # [N, M, 6, 64]
+
+        ok_new = ok
+        for o in (0, 1):
+            q_slot = (slot + 1 + o) % 3                 # [N, M]
+            r_slot = (slot + 2 - o) % 3
+            d_idx = d_table[:, o][slot]                 # [N, M]
+            vq = jnp.take_along_axis(
+                vall_t, q_slot[:, :, None, None], axis=2
+            )[:, :, 0]                                  # [N, M, 64]
+            t_sel = jnp.take_along_axis(
+                t_stack_t, d_idx[:, :, None, None], axis=2
+            )[:, :, 0]                                  # [N, M, 64]
+            ok_new = ok_new | jnp.any(
+                a_live[:, :, None] & vq & (t_sel > 0.5), axis=(1, 2)
+            )
+            # q clears b1, then r on the doubly-cleared board
+            rc_q = jnp.take_along_axis(
+                rc, q_slot[:, :, None, None], axis=1
+            )                                           # [N, M, 64, 8]
+            cc_q = jnp.take_along_axis(cc, q_slot[:, :, None, None], axis=1)
+            causes2 = jnp.any(
+                rs1[:, :, None, :] + rc_q == BOARD_SIZE, axis=-1
+            ) | jnp.any(cs1[:, :, None, :] + cc_q == BOARD_SIZE, axis=-1)
+            cand2 = vq & causes2                        # [N, M, 64]
+            occ_q = jnp.take_along_axis(
+                occ3b, q_slot[:, :, None, None], axis=1
+            )                                           # [N, M, 64, 64]
+            b2 = clear_lines_flat(
+                b1[:, :, None, :] | occ_q.astype(jnp.uint8)
+            )                                           # [N, M, 64a2, 64]
+            occ_r = jnp.take_along_axis(
+                occ3f, r_slot[:, :, None, None], axis=1
+            )                                           # [N, M, 64, 64]
+            ov3 = jax.lax.dot_general(
+                b2.astype(_BF16), occ_r, dn3, preferred_element_type=_BF16
+            )                                           # [N, M, 64a2, 64a3]
+            aok_r = jnp.take_along_axis(aok3, r_slot[:, :, None], axis=1)
+            fits = jnp.any(
+                aok_r[:, :, None, :] & (ov3 < 0.5), axis=-1
+            )                                           # [N, M, 64]
+            ok_new = ok_new | jnp.any(
+                a_live[:, :, None] & cand2 & fits, axis=(1, 2)
+            )
+        rem_a = rem_a.at[rows, sa_idx].set(False)
+
+        # ---- β: disjoint non-clearing-first pair whose union clears, then
+        # the third piece on the cleared union board ----
+        sb_val, sb_idx = jax.lax.top_k(
+            (rem_b & live).astype(_F32), BETA_BLOCKS
+        )
+        b_live = sb_val > 0.5                           # [N, B]
+        cpair = sb_idx // NUM_CELLS
+        a1b = sb_idx % NUM_CELLS
+        sa_ = _PAIR_A[cpair]                            # [N, B] slots
+        sb_ = _PAIR_B[cpair]
+        sc_ = _PAIR_C[cpair]
+        occa = jnp.take_along_axis(
+            occ3b.reshape(n, PIECES_PER_TURN * NUM_CELLS, NUM_CELLS),
+            (sa_ * NUM_CELLS + a1b)[:, :, None], axis=1,
+        )                                               # [N, B, 64]
+        base = flat[:, None, :] | occa.astype(jnp.uint8)
+        occ_b2 = jnp.take_along_axis(occ3b, sb_[:, :, None, None], axis=1)
+        b2b = clear_lines_flat(
+            base[:, :, None, :] | occ_b2.astype(jnp.uint8)
+        )                                               # [N, B, 64a2, 64]
+        occ_c = jnp.take_along_axis(occ3f, sc_[:, :, None, None], axis=1)
+        ov3b = jax.lax.dot_general(
+            b2b.astype(_BF16), occ_c, dn3, preferred_element_type=_BF16
+        )                                               # [N, B, 64a2, 64a3]
+        aok_c = jnp.take_along_axis(aok3, sc_[:, :, None], axis=1)
+        fitsb = jnp.any(
+            aok_c[:, :, None, :] & (ov3b < 0.5), axis=-1
+        )                                               # [N, B, 64a2]
+        candb_sel = jnp.take_along_axis(
+            cand_b_flat, sb_idx[:, :, None], axis=1
+        )                                               # [N, B, 64]
+        ok_new = ok_new | jnp.any(
+            b_live[:, :, None] & candb_sel & fitsb, axis=(1, 2)
+        )
+        rem_b = rem_b.at[rows, sb_idx].set(False)
+        return ok_new, rem_a, rem_b
+
+    ok, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros(n, bool), rem_a0, rem_b0)
+    )
+    return ok & need
+
+
 def _full_compact(
     board: jnp.ndarray, piece_ids: jnp.ndarray, need: jnp.ndarray
 ) -> jnp.ndarray:
@@ -378,16 +629,11 @@ def solvable_screened(
 ) -> jnp.ndarray:
     """Exact verdict for lanes that already failed the disjoint fast path.
 
-    Pipeline: clear-prediction accept screen (`solvable_clear1`), certain
-    reject screen (`unsolvable_certain`), and the exhaustive search only for
-    the residual (~quarter of the disjoint failures empirically), compacted
-    to GATHER_LANES.
+    Delegates to `solvable_exact`, the first-clear case decomposition that
+    simulates only predicted clearing placements instead of the all-anchors
+    search (`solvable_full` remains as the brute-force oracle for tests).
     """
-    cand = clear_candidates(board, piece_ids, valid3)
-    s1 = solvable_clear1(board, piece_ids, cand) & need
-    rej = unsolvable_certain(board, piece_ids, valid3, cand)
-    resid = need & ~s1 & ~rej
-    return s1 | _full_compact(board, piece_ids, resid)
+    return solvable_exact(board, piece_ids, valid3, need)
 
 
 def solvable(

@@ -75,9 +75,6 @@ def fresh_pieces(keys: jnp.ndarray) -> jnp.ndarray:
     return _draw(keys)
 
 
-REGEN_BUFFER = 512  # lanes verdicted/redrawn per compacted retry pass
-
-
 def regen_pieces(
     board: jnp.ndarray,
     all_valid: jnp.ndarray,
@@ -96,11 +93,13 @@ def regen_pieces(
     cheap screens:
       * Pass 1 (full batch): one draw per needy lane + the disjoint fast
         path.  Accepts ~2/3 of lanes in one shot with two batched matmuls.
-      * Retry loop (compacted): surviving lanes are gathered into a fixed
-        [REGEN_BUFFER] buffer; each iteration gives the gathered candidates
-        their exact verdict (screens + compacted exhaustive search) and
-        redraws the rejected — so per-iteration cost is bounded by the
-        buffer size, never the fleet size.
+      * Retry loops (compacted, two tiers): surviving lanes are gathered
+        into a fixed small buffer (128 lanes for the bulk, 32 for the
+        stragglers); each round gives the gathered candidates their exact
+        verdict, redraws the rejected, and disjoint-screens the fresh draws
+        in the same round — per-round cost is bounded by the buffer size,
+        never the fleet size, and buffers stay small enough that the
+        verdict working set fits VMEM.
 
     Per-lane results are independent of other lanes' retry counts: a lane's
     ids/rng are only touched on its own draws (batch-of-N == N batches-of-1).
@@ -126,36 +125,67 @@ def regen_pieces(
     pending = need & ~fast          # candidate drawn, verdict unknown
     attempts = need.astype(jnp.int32)
 
-    k = min(REGEN_BUFFER, n)
+    def round_body(k):
+        """One compacted verdict/redraw round over a [k]-lane buffer.
 
-    def cond(carry):
-        _ids, _rng, pending, _att = carry
-        return jnp.any(pending)
+        Each round gives the gathered candidates their exact verdict,
+        redraws the rejected, and — crucially — disjoint-screens the fresh
+        draw in the same round: a redraw only stays pending when it needs
+        the (expensive) exact verdict, so the loop length tracks the number
+        of exact verdicts per lane (~0.35/draw), not the number of draws.
+        """
 
-    def body(carry):
-        ids, rng, pending, attempts = carry
-        idx = jax.lax.top_k(pending.astype(jnp.float32), k)[1]
-        live = pending[idx]
-        sids = ids[idx]
-        ok = solvable(board[idx], all_valid[idx], sids, live) & live
-        rejected = live & ~ok
-        retry = rejected & (attempts[idx] < MAX_REGEN_ATTEMPTS)
-        # exhausted lanes keep their last (unsolvable) draw — engine.py:170-172
+        def body(carry):
+            ids, rng, pending, attempts = carry
+            idx = jax.lax.top_k(pending.astype(jnp.float32), k)[1]
+            live = pending[idx]
+            sids = ids[idx]
+            sboard = board[idx]
+            svalid = all_valid[idx]
+            ok = solvable(sboard, svalid, sids, live) & live
+            rejected = live & ~ok
+            retry = rejected & (attempts[idx] < MAX_REGEN_ATTEMPTS)
+            # exhausted lanes keep their last draw — engine.py:170-172
 
-        sp = jax.vmap(lambda q: jr.split(q, 2))(rng[idx])
-        new_rng_k = jnp.where(retry, sp[:, 0], rng[idx])
-        draw_k = _draw(sp[:, 1])
-        ids_k = jnp.where(retry[:, None], draw_k, sids)
+            sp = jax.vmap(lambda q: jr.split(q, 2))(rng[idx])
+            new_rng_k = jnp.where(retry, sp[:, 0], rng[idx])
+            draw_k = _draw(sp[:, 1])
+            ids_k = jnp.where(retry[:, None], draw_k, sids)
+            # Cheap screen of the fresh draw now, not next round.
+            fast_k = solvable_disjoint(
+                gather_piece_validity(svalid, ids_k), ids_k
+            )
 
-        ids = ids.at[idx].set(ids_k)
-        rng = rng.at[idx].set(new_rng_k)
-        pending = pending.at[idx].set(retry)
-        attempts = attempts.at[idx].add(retry.astype(jnp.int32))
-        return ids, rng, pending, attempts
+            ids = ids.at[idx].set(ids_k)
+            rng = rng.at[idx].set(new_rng_k)
+            pending = pending.at[idx].set(retry & ~fast_k)
+            attempts = attempts.at[idx].add(retry.astype(jnp.int32))
+            return ids, rng, pending, attempts
 
-    ids, rng, _, _ = jax.lax.while_loop(
-        cond, body, (ids, rng, pending, attempts)
-    )
+        return body
+
+    def cond_any(carry):
+        return jnp.any(carry[2])
+
+    if n <= 32:
+        ids, rng, _, _ = jax.lax.while_loop(
+            cond_any, round_body(n), (ids, rng, pending, attempts)
+        )
+        return ids, rng
+
+    # Two tiers, both sized to keep the verdict working set inside VMEM
+    # (a 512-lane buffer spills and costs ~9x a 128-lane one on v5e):
+    # 128-lane rounds drain the bulk, 32-lane rounds serve the straggler
+    # lanes that chain many exact verdicts near game over.
+    k1 = min(128, n)
+    k2 = 32
+
+    def cond_big(carry):
+        return jnp.sum(carry[2]) > k2
+
+    carry = (ids, rng, pending, attempts)
+    carry = jax.lax.while_loop(cond_big, round_body(k1), carry)
+    ids, rng, _, _ = jax.lax.while_loop(cond_any, round_body(k2), carry)
     return ids, rng
 
 

@@ -185,3 +185,45 @@ def test_screens_sound_against_full_search():
 
     # make sure this distribution actually exercises every tier
     assert s1.sum() > 0 and (rej & ~fast).sum() > 0 and fast.sum() > 0
+
+
+def test_exact_decomposition_equals_oracle():
+    """`solvable_exact` (first-clear case decomposition) must equal the
+    brute-force all-anchors search on a distribution dense in clear-dependent
+    and unsolvable draws, including the adversarial shapes: solutions that
+    need two sequential clears, join-clear-pair-only solutions, and boards
+    with many clearing placements (exercising the multi-pass loop)."""
+    rng = np.random.default_rng(7)
+    n = 600
+    boards = np.zeros((n, 8, 8), np.uint8)
+    ids = rng.integers(0, 37, size=(n, 3)).astype(np.int32)
+    single = P.NAME_TO_INDEX["SINGLE"]
+    for i in range(n):
+        kind = i % 4
+        if kind == 0:
+            boards[i] = rng.random((8, 8)) < rng.uniform(0.35, 0.85)
+        elif kind == 1:
+            # nearly-full rows: many clearing placements (loop path)
+            boards[i] = rng.random((8, 8)) < 0.3
+            for rrow in range(0, 8, 2):
+                boards[i, rrow] = 1
+                boards[i, rrow, rng.integers(0, 8)] = 0
+        elif kind == 2:
+            # one free cell: singles solvable only via cascading clears
+            boards[i] = 1
+            boards[i, 0, 0] = 0
+            ids[i] = [single] * 3
+        else:
+            boards[i] = rng.random((8, 8)) < 0.6
+
+    board = jnp.asarray(boards)
+    idsj = jnp.asarray(ids)
+    av = K.valid_anchors_all_pieces(board)
+    v3 = K.gather_piece_validity(av, idsj)
+    fast = np.asarray(S.solvable_disjoint(v3, idsj))
+    oracle = np.asarray(S.solvable_full(board, idsj, a1_block=8))
+    need = jnp.asarray(~fast)
+    got = np.asarray(S.solvable_exact(board, idsj, v3, need))
+    np.testing.assert_array_equal(got, oracle & ~fast)
+    # distribution must exercise both branches
+    assert (got & ~fast).sum() > 20 and ((~got) & ~fast).sum() > 20
