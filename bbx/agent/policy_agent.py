@@ -113,6 +113,10 @@ class PolicyAgent(BaseAgent):
     @classmethod
     def from_checkpoint(cls, path: str, config: Optional[dict] = None):
         from ..agent.trainer import _network_from_config
-        from ..cli.evaluate import load_variables_from_checkpoint
-        net = _network_from_config((config or {}).get("network", {}))
+        from ..cli.evaluate import (
+            config_for_checkpoint,
+            load_variables_from_checkpoint,
+        )
+        cfg = config or config_for_checkpoint(path)
+        net = _network_from_config(cfg.get("network", {}))
         return cls(net, load_variables_from_checkpoint(path))

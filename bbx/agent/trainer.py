@@ -145,7 +145,18 @@ class PPOTrainer:
         }
 
     def save(self, directory: str, name: str) -> str:
-        return save_checkpoint(directory, name, self._payload())
+        path = save_checkpoint(directory, name, self._payload())
+        # Sidecar with the architecture/hyperparameters so evaluate/play can
+        # rebuild the right network without the training YAML (the reference
+        # stores its config inside the .pt file, `ppo.py:425-439`).
+        import json
+
+        sidecar = {k: self.config[k]
+                   for k in ("network", "ppo", "rewards", "training")
+                   if k in self.config}
+        with open(path + ".config.json", "w") as f:
+            json.dump(sidecar, f, indent=2)
+        return path
 
     def load(self, path: str) -> None:
         payload = load_checkpoint(path)

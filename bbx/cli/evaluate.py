@@ -113,9 +113,27 @@ def load_variables_from_checkpoint(path: str):
     return variables
 
 
+def config_for_checkpoint(checkpoint: str, config_path: Optional[str] = None):
+    """Resolve the config to rebuild a checkpoint's network: an explicit
+    YAML wins, else the `<checkpoint>.config.json` sidecar written at save
+    time, else defaults."""
+    import os
+
+    from ..utils.config import load_config
+
+    if config_path:
+        return load_config(config_path)
+    sidecar = os.path.abspath(checkpoint) + ".config.json"
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            cfg = load_config(None)
+            cfg.update(json.load(f))
+            return cfg
+    return load_config(None)
+
+
 def main(argv=None) -> int:
     from ..agent.trainer import _network_from_config
-    from ..utils.config import load_config
 
     ap = argparse.ArgumentParser(description="Evaluate a trained agent")
     ap.add_argument("--checkpoint", required=True)
@@ -126,7 +144,7 @@ def main(argv=None) -> int:
     ap.add_argument("--output", default=None, help="JSON results path")
     args = ap.parse_args(argv)
 
-    cfg = load_config(args.config)
+    cfg = config_for_checkpoint(args.checkpoint, args.config)
     network = _network_from_config(cfg.get("network", {}))
     variables = load_variables_from_checkpoint(args.checkpoint)
     results = evaluate_policy(

@@ -20,11 +20,13 @@ def watch(checkpoint: str, config_path=None, games: int = 1,
     import jax
     import jax.random as jr
     from ..agent.trainer import _network_from_config
-    from ..cli.evaluate import load_variables_from_checkpoint
+    from ..cli.evaluate import (
+        config_for_checkpoint,
+        load_variables_from_checkpoint,
+    )
     from ..models import distributions as D
-    from ..utils.config import load_config
 
-    cfg = load_config(config_path)
+    cfg = config_for_checkpoint(checkpoint, config_path)
     network = _network_from_config(cfg.get("network", {}))
     variables = load_variables_from_checkpoint(checkpoint)
 

@@ -125,6 +125,23 @@ def regen_pieces(
     pending = need & ~fast          # candidate drawn, verdict unknown
     attempts = need.astype(jnp.int32)
 
+    def compact_indices(mask, k):
+        """Indices of the first k True lanes (cumsum scatter — no sort).
+
+        Padding slots get the out-of-bounds sentinel `n`: gathers through
+        them clamp (garbage lanes, masked off by `live`), scatters through
+        them are dropped by XLA's out-of-bounds rule, so padded slots can
+        never corrupt real lanes.  O(N) instead of top_k's sort network,
+        and this runs once per retry round over the full fleet mask.
+        """
+        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        tgt = jnp.where(mask & (pos < k), pos, k)
+        idx = jnp.full((k + 1,), n, jnp.int32)
+        idx = idx.at[tgt].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+        count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), k)
+        live = jnp.arange(k) < count
+        return idx[:k], live
+
     def round_body(k):
         """One compacted verdict/redraw round over a [k]-lane buffer.
 
@@ -137,8 +154,7 @@ def regen_pieces(
 
         def body(carry):
             ids, rng, pending, attempts = carry
-            idx = jax.lax.top_k(pending.astype(jnp.float32), k)[1]
-            live = pending[idx]
+            idx, live = compact_indices(pending, k)
             sids = ids[idx]
             sboard = board[idx]
             svalid = all_valid[idx]
@@ -174,10 +190,10 @@ def regen_pieces(
         return ids, rng
 
     # Two tiers, both sized to keep the verdict working set inside VMEM
-    # (a 512-lane buffer spills and costs ~9x a 128-lane one on v5e):
-    # 128-lane rounds drain the bulk, 32-lane rounds serve the straggler
-    # lanes that chain many exact verdicts near game over.
-    k1 = min(128, n)
+    # (oversized buffers spill and cost super-linearly on v5e): 256-lane
+    # rounds drain the bulk, 32-lane rounds serve the straggler lanes that
+    # chain many exact verdicts near game over.
+    k1 = min(256, n)
     k2 = 32
 
     def cond_big(carry):

@@ -81,5 +81,7 @@ def regen_disjoint_only(board, all_valid, ids, rng, need):
 
 print("devices:", jax.devices())
 bench_chunk("A full (current)", S.regen_pieces)
-bench_chunk("B unchecked draw", regen_none)
-bench_chunk("C disjoint-only loop", regen_disjoint_only)
+if os.environ.get("BBX_ONLY_A") != "1":
+    bench_chunk("B unchecked draw", regen_none)
+if os.environ.get("BBX_ONLY_A") != "1":
+    bench_chunk("C disjoint-only loop", regen_disjoint_only)
