@@ -126,21 +126,22 @@ def regen_pieces(
     attempts = need.astype(jnp.int32)
 
     def compact_indices(mask, k):
-        """Indices of the first k True lanes (cumsum scatter — no sort).
+        """Indices of the first k True lanes via cumsum + searchsorted.
 
-        Padding slots get the out-of-bounds sentinel `n`: gathers through
-        them clamp (garbage lanes, masked off by `live`), scatters through
-        them are dropped by XLA's out-of-bounds rule, so padded slots can
-        never corrupt real lanes.  O(N) instead of top_k's sort network,
-        and this runs once per retry round over the full fleet mask.
+        `searchsorted(cumsum(mask), j+1)` is the position of the j-th True
+        lane, or the out-of-bounds sentinel N when fewer exist: gathers
+        through the sentinel clamp (garbage lanes, masked off by `live`) and
+        scatters through it are dropped by XLA's out-of-bounds rule, so
+        padded slots can never corrupt real lanes.  k·log(N) binary-search
+        work — no sort network (top_k) and no colliding scatter (which TPU
+        executes serially) on the per-round hot path.
         """
-        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-        tgt = jnp.where(mask & (pos < k), pos, k)
-        idx = jnp.full((k + 1,), n, jnp.int32)
-        idx = idx.at[tgt].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-        count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), k)
-        live = jnp.arange(k) < count
-        return idx[:k], live
+        cum = jnp.cumsum(mask.astype(jnp.int32))
+        idx = jnp.searchsorted(
+            cum, jnp.arange(1, k + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        live = jnp.arange(k) < jnp.minimum(cum[-1], k)
+        return idx, live
 
     def round_body(k):
         """One compacted verdict/redraw round over a [k]-lane buffer.
@@ -190,10 +191,10 @@ def regen_pieces(
         return ids, rng
 
     # Two tiers, both sized to keep the verdict working set inside VMEM
-    # (oversized buffers spill and cost super-linearly on v5e): 256-lane
+    # (oversized buffers spill and cost super-linearly on v5e): 128-lane
     # rounds drain the bulk, 32-lane rounds serve the straggler lanes that
     # chain many exact verdicts near game over.
-    k1 = min(256, n)
+    k1 = min(128, n)
     k2 = 32
 
     def cond_big(carry):

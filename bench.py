@@ -30,7 +30,7 @@ def main():
     from bbx.engine.step import step
     from bbx.env.vector import sample_valid_actions_device
 
-    num_envs = int(os.environ.get("BBX_BENCH_ENVS", 4096))
+    num_envs = int(os.environ.get("BBX_BENCH_ENVS", 16384))
     chunk = int(os.environ.get("BBX_BENCH_CHUNK", 64))
     iters = int(os.environ.get("BBX_BENCH_ITERS", 10))
 
