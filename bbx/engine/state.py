@@ -19,6 +19,12 @@ from .tables import ANCHOR_OK, NUM_PIECE_TYPES, PIECES_PER_TURN
 
 MAX_REGEN_ATTEMPTS = 100  # reference cap, `engine.py:161`
 
+# Drain-tier buffer sizes for the compacted regen retry loop (see
+# `regen_pieces`): big rounds drain the bulk of pending lanes, small rounds
+# serve the stragglers.  Module-level so perf sweeps can patch them.
+_TIER_K1 = 128
+_TIER_K2 = 32
+
 
 @struct.dataclass
 class EnvState:
@@ -190,12 +196,11 @@ def regen_pieces(
         )
         return ids, rng
 
-    # Two tiers, both sized to keep the verdict working set inside VMEM
-    # (oversized buffers spill and cost super-linearly on v5e): 128-lane
-    # rounds drain the bulk, 32-lane rounds serve the straggler lanes that
-    # chain many exact verdicts near game over.
-    k1 = min(128, n)
-    k2 = 32
+    # Two tiers: big rounds drain the bulk of pending lanes, small rounds
+    # serve the straggler lanes that chain many exact verdicts near game
+    # over.  Sizes trade round count against per-round working set.
+    k1 = min(_TIER_K1, n)
+    k2 = min(_TIER_K2, n)
 
     def cond_big(carry):
         return jnp.sum(carry[2]) > k2
