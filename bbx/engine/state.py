@@ -14,16 +14,16 @@ import jax.random as jr
 from flax import struct
 
 from .kernel import empty_boards, gather_piece_validity, valid_anchors_all_pieces
-from .solvability import solvable, solvable_disjoint
+from .solvability import (
+    clear_candidates,
+    solvable_clear1,
+    solvable_disjoint,
+    solvable_exact,
+    unsolvable_certain,
+)
 from .tables import ANCHOR_OK, NUM_PIECE_TYPES, PIECES_PER_TURN
 
 MAX_REGEN_ATTEMPTS = 100  # reference cap, `engine.py:161`
-
-# Drain-tier buffer sizes for the compacted regen retry loop (see
-# `regen_pieces`): big rounds drain the bulk of pending lanes, small rounds
-# serve the stragglers.  Module-level so perf sweeps can patch them.
-_TIER_K1 = 128
-_TIER_K2 = 32
 
 
 @struct.dataclass
@@ -81,6 +81,100 @@ def fresh_pieces(keys: jnp.ndarray) -> jnp.ndarray:
     return _draw(keys)
 
 
+def _verdict_flat(
+    fboard: jnp.ndarray,
+    favalid: jnp.ndarray,
+    fids: jnp.ndarray,
+    fneed: jnp.ndarray,
+    kp: int,
+    ke: int,
+) -> jnp.ndarray:
+    """Exact solvability verdict for a flat batch of candidate draws.
+
+    Tiered like `solvable` but built for batches where most slots carry a
+    candidate: the disjoint fast path runs at full width (accepts ~77% of
+    draws), the clear1-accept / certain-reject screens run over [kp]-slot
+    compacted buffers (resolve ~71% of the remainder), and the exact
+    first-clear decomposition runs over [ke]-slot buffers for the rest.
+    Every tier is sound, so `fast | screens | exact` equals the reference
+    predicate (`/root/reference/src/game/engine.py:174-238`).
+
+    Args:
+      fboard: [M, 8, 8] uint8.
+      favalid: [M, 37, 64] bool — validity of all pieces on each board.
+      fids: [M, 3] int32 candidate draws.
+      fneed: [M] bool — slots holding a real candidate.
+      kp: screen-buffer width (>= typical 0.23*M pending slots).
+      ke: exact-buffer width (>= typical 0.07*M unknown slots).
+    Returns:
+      [M] bool — solvable, False wherever ~fneed.
+    """
+    m = fboard.shape[0]
+    v3 = gather_piece_validity(favalid, fids)
+    fast = solvable_disjoint(v3, fids) & fneed
+    todo_s = fneed & ~fast
+
+    def compact(mask, k):
+        cum = jnp.cumsum(mask.astype(jnp.int32))
+        idx = jnp.searchsorted(
+            cum, jnp.arange(1, k + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        live = jnp.arange(k) < jnp.minimum(cum[-1], k)
+        return idx, live
+
+    def screen_pass(carry):
+        ok, todo_s, todo_e = carry
+        idx, live = compact(todo_s, kp)
+        sb, si, sv = fboard[idx], fids[idx], v3[idx]
+        cand = clear_candidates(sb, si, sv)
+        acc = solvable_clear1(sb, si, cand) & live
+        rej = unsolvable_certain(sb, si, sv, cand) & live & ~acc
+        ok = ok.at[idx].set(acc | ok[idx])
+        todo_e = todo_e.at[idx].set(live & ~acc & ~rej)
+        todo_s = todo_s.at[idx].set(False)
+        return ok, todo_s, todo_e
+
+    def exact_pass(carry):
+        ok, todo_s, todo_e = carry
+        idx, live = compact(todo_e, ke)
+        res = solvable_exact(fboard[idx], fids[idx], v3[idx], live) & live
+        ok = ok.at[idx].set(res | ok[idx])
+        todo_e = todo_e.at[idx].set(False)
+        return ok, todo_s, todo_e
+
+    carry = (fast, todo_s, jnp.zeros(m, bool))
+    carry = jax.lax.while_loop(lambda c: jnp.any(c[1]), screen_pass, carry)
+    ok, _, _ = jax.lax.while_loop(lambda c: jnp.any(c[2]), exact_pass, carry)
+    return ok
+
+
+def _event_draws(ekeys: jnp.ndarray, j0: jnp.ndarray, count: int):
+    """`count` iid piece triples per event key, attempt-indexed.
+
+    Draw j of an event is `_draw(fold_in(event_key, j))`, so any number of
+    attempts can be generated speculatively, and later rounds continue the
+    same per-lane sequence from attempt `j0`.
+
+    Args:
+      ekeys: [K] event keys.
+      j0: [K] int32 first attempt index per lane.
+      count: attempts per lane (static).
+    Returns:
+      [K, count, 3] int32 piece ids.
+    """
+    dk = jax.vmap(
+        lambda k, j: jax.vmap(lambda t: jr.fold_in(k, j + t))(
+            jnp.arange(count, dtype=jnp.int32)
+        )
+    )(ekeys, j0)
+    return _draw(dk.reshape(-1)).reshape(-1, count, PIECES_PER_TURN)
+
+
+_SPEC_DRAWS = 4   # speculative attempts verdicted in the main round
+_SPEC_TAIL = 32   # speculative attempts per round for stuck lanes
+_TAIL_LANES = 64  # tail-round lane-buffer width
+
+
 def regen_pieces(
     board: jnp.ndarray,
     all_valid: jnp.ndarray,
@@ -91,24 +185,20 @@ def regen_pieces(
     """Redraw piece triples until solvable, for the lanes in `need`.
 
     Faithful to `engine._generate_new_pieces` (`engine.py:155-172`): up to
-    `MAX_REGEN_ATTEMPTS` draws per lane; if none passes the solvability check
-    the last draw is kept (the game then ends naturally).
+    `MAX_REGEN_ATTEMPTS` iid draws per lane, the first solvable draw wins,
+    and if none passes the last draw is kept (the game then ends naturally).
 
-    Structure is chosen for the batched lockstep setting, where ~N/3 lanes
-    regen every step but only a few percent of draws need more than the
-    cheap screens:
-      * Pass 1 (full batch): one draw per needy lane + the disjoint fast
-        path.  Accepts ~2/3 of lanes in one shot with two batched matmuls.
-      * Retry loops (compacted, two tiers): surviving lanes are gathered
-        into a fixed small buffer (128 lanes for the bulk, 32 for the
-        stragglers); each round gives the gathered candidates their exact
-        verdict, redraws the rejected, and disjoint-screens the fresh draws
-        in the same round — per-round cost is bounded by the buffer size,
-        never the fleet size, and buffers stay small enough that the
-        verdict working set fits VMEM.
-
-    Per-lane results are independent of other lanes' retry counts: a lane's
-    ids/rng are only touched on its own draws (batch-of-N == N batches-of-1).
+    The reference's per-lane retry loop is a serial chain (draw -> verdict
+    -> redraw) that no buffer width can parallelize, so the chain is
+    removed by *speculation*: attempt j of a regen event is
+    `fold_in(event_key, j)`, and the first `_SPEC_DRAWS` attempts of every
+    needy lane are generated up front and verdicted together in one wide
+    flat pass — "first solvable wins" over iid draws is distributionally
+    identical to sequential retry.  Measured under random play a draw
+    resolves without the exact search w.p. ~0.93 and is solvable w.p. ~0.9,
+    so P(lane unresolved after the main round) ~ 1e-4: the tail loop below
+    almost never runs, and when it does it burns `_SPEC_TAIL` attempts per
+    round toward the cap.
 
     Args:
       board: [N, 8, 8] uint8 (fixed during the retry loop).
@@ -121,26 +211,18 @@ def regen_pieces(
     """
     n = board.shape[0]
 
-    # ---- Pass 1: one draw + disjoint screen, full batch ----
+    # One rng advance per regen event; attempts come from the event key.
     split = jax.vmap(lambda k: jr.split(k, 2))(rng)
     rng = jnp.where(need, split[:, 0], rng)
-    draw = _draw(split[:, 1])
-    ids = jnp.where(need[:, None], draw, piece_ids)
-    v3 = gather_piece_validity(all_valid, ids)
-    fast = solvable_disjoint(v3, ids)
-    pending = need & ~fast          # candidate drawn, verdict unknown
-    attempts = need.astype(jnp.int32)
+    ekey = split[:, 1]
 
-    def compact_indices(mask, k):
+    def compact(mask, k):
         """Indices of the first k True lanes via cumsum + searchsorted.
 
         `searchsorted(cumsum(mask), j+1)` is the position of the j-th True
         lane, or the out-of-bounds sentinel N when fewer exist: gathers
-        through the sentinel clamp (garbage lanes, masked off by `live`) and
-        scatters through it are dropped by XLA's out-of-bounds rule, so
-        padded slots can never corrupt real lanes.  k·log(N) binary-search
-        work — no sort network (top_k) and no colliding scatter (which TPU
-        executes serially) on the per-round hot path.
+        through the sentinel clamp produce garbage masked off by `live`,
+        and scatters through it are dropped by XLA's out-of-bounds rule.
         """
         cum = jnp.cumsum(mask.astype(jnp.int32))
         idx = jnp.searchsorted(
@@ -149,66 +231,60 @@ def regen_pieces(
         live = jnp.arange(k) < jnp.minimum(cum[-1], k)
         return idx, live
 
-    def round_body(k):
-        """One compacted verdict/redraw round over a [k]-lane buffer.
+    def spec_round(carry, r, s):
+        """One speculative round over a [r]-lane buffer, s attempts each.
 
-        Each round gives the gathered candidates their exact verdict,
-        redraws the rejected, and — crucially — disjoint-screens the fresh
-        draw in the same round: a redraw only stays pending when it needs
-        the (expensive) exact verdict, so the loop length tracks the number
-        of exact verdicts per lane (~0.35/draw), not the number of draws.
+        Gathered lanes draw attempts [j0, j0+s), verdict them all in one
+        flat [r*s] pass, and take their first solvable draw; lanes with no
+        solvable draw keep the last allowed one (so a lane hitting the
+        attempt cap holds draw #MAX-1, engine.py:170-172) and stay in
+        `todo` unless capped.
         """
+        ids, todo, attempts = carry
+        idx, live = compact(todo, r)
+        j0 = attempts[idx]
+        draws = _event_draws(ekey[idx], j0, s)           # [r, s, 3]
+        allowed = (j0[:, None] + jnp.arange(s)) < MAX_REGEN_ATTEMPTS
+        fb = jnp.repeat(board[idx], s, axis=0)
+        fv = jnp.repeat(all_valid[idx], s, axis=0)
+        fneed = jnp.repeat(live, s) & allowed.reshape(-1)
+        m = r * s
+        ok = _verdict_flat(
+            fb, fv, draws.reshape(m, PIECES_PER_TURN), fneed,
+            kp=max(32, m // 4), ke=max(32, m // 8),
+        ).reshape(r, s)
+        any_ok = jnp.any(ok, axis=1)
+        first = jnp.argmax(ok, axis=1)
+        last_allowed = jnp.clip(MAX_REGEN_ATTEMPTS - 1 - j0, 0, s - 1)
+        pick = jnp.where(any_ok, first, last_allowed)
+        chosen = jnp.take_along_axis(draws, pick[:, None, None], axis=1)[:, 0]
+        ids = ids.at[idx].set(jnp.where(live[:, None], chosen, ids[idx]))
+        attempts = attempts.at[idx].add(jnp.where(live, s, 0))
+        still = live & ~any_ok & (j0 + s < MAX_REGEN_ATTEMPTS)
+        todo = todo.at[idx].set(still)
+        return ids, todo, attempts
 
-        def body(carry):
-            ids, rng, pending, attempts = carry
-            idx, live = compact_indices(pending, k)
-            sids = ids[idx]
-            sboard = board[idx]
-            svalid = all_valid[idx]
-            ok = solvable(sboard, svalid, sids, live) & live
-            rejected = live & ~ok
-            retry = rejected & (attempts[idx] < MAX_REGEN_ATTEMPTS)
-            # exhausted lanes keep their last draw — engine.py:170-172
+    # Main round width: needy lanes are ~N/3 per step under the all-used
+    # cadence, so n//2 has slack; if more lanes need service (sum(need) >
+    # r1), the main loop runs again for the unserved cohort — per-lane
+    # attempt counters keep mixed cohorts correct.
+    r1 = n if n <= 32 else max(32, n // 2)
 
-            sp = jax.vmap(lambda q: jr.split(q, 2))(rng[idx])
-            new_rng_k = jnp.where(retry, sp[:, 0], rng[idx])
-            draw_k = _draw(sp[:, 1])
-            ids_k = jnp.where(retry[:, None], draw_k, sids)
-            # Cheap screen of the fresh draw now, not next round.
-            fast_k = solvable_disjoint(
-                gather_piece_validity(svalid, ids_k), ids_k
-            )
-
-            ids = ids.at[idx].set(ids_k)
-            rng = rng.at[idx].set(new_rng_k)
-            pending = pending.at[idx].set(retry & ~fast_k)
-            attempts = attempts.at[idx].add(retry.astype(jnp.int32))
-            return ids, rng, pending, attempts
-
-        return body
-
-    def cond_any(carry):
-        return jnp.any(carry[2])
-
-    if n <= 32:
-        ids, rng, _, _ = jax.lax.while_loop(
-            cond_any, round_body(n), (ids, rng, pending, attempts)
-        )
-        return ids, rng
-
-    # Two tiers: big rounds drain the bulk of pending lanes, small rounds
-    # serve the straggler lanes that chain many exact verdicts near game
-    # over.  Sizes trade round count against per-round working set.
-    k1 = min(_TIER_K1, n)
-    k2 = min(_TIER_K2, n)
-
-    def cond_big(carry):
-        return jnp.sum(carry[2]) > k2
-
-    carry = (ids, rng, pending, attempts)
-    carry = jax.lax.while_loop(cond_big, round_body(k1), carry)
-    ids, rng, _, _ = jax.lax.while_loop(cond_any, round_body(k2), carry)
+    carry = (piece_ids, need, jnp.zeros(n, jnp.int32))
+    carry = spec_round(carry, r1, _SPEC_DRAWS)
+    carry = jax.lax.while_loop(
+        lambda c: jnp.any(c[1] & (c[2] == 0)),
+        lambda c: spec_round(c, r1, _SPEC_DRAWS),
+        carry,
+    )
+    # Tail: lanes whose first _SPEC_DRAWS draws all failed (rare).
+    ids, _, _ = jax.lax.while_loop(
+        lambda c: jnp.any(c[1]),
+        lambda c: spec_round(c, min(_TAIL_LANES, n), _SPEC_TAIL),
+        carry,
+    )
     return ids, rng
+
 
 
 def reset(rng: jnp.ndarray) -> EnvState:
