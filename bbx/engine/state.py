@@ -170,9 +170,7 @@ def _event_draws(ekeys: jnp.ndarray, j0: jnp.ndarray, count: int):
     return _draw(dk.reshape(-1)).reshape(-1, count, PIECES_PER_TURN)
 
 
-_SPEC_DRAWS = 4   # speculative attempts verdicted in the main round
-_SPEC_TAIL = 32   # speculative attempts per round for stuck lanes
-_TAIL_LANES = 64  # tail-round lane-buffer width
+_TAIL_DRAWS = 4  # speculative attempts per tail round for stuck lanes
 
 
 def regen_pieces(
@@ -188,17 +186,19 @@ def regen_pieces(
     `MAX_REGEN_ATTEMPTS` iid draws per lane, the first solvable draw wins,
     and if none passes the last draw is kept (the game then ends naturally).
 
-    The reference's per-lane retry loop is a serial chain (draw -> verdict
-    -> redraw) that no buffer width can parallelize, so the chain is
-    removed by *speculation*: attempt j of a regen event is
-    `fold_in(event_key, j)`, and the first `_SPEC_DRAWS` attempts of every
-    needy lane are generated up front and verdicted together in one wide
-    flat pass — "first solvable wins" over iid draws is distributionally
-    identical to sequential retry.  Measured under random play a draw
-    resolves without the exact search w.p. ~0.93 and is solvable w.p. ~0.9,
-    so P(lane unresolved after the main round) ~ 1e-4: the tail loop below
-    almost never runs, and when it does it burns `_SPEC_TAIL` attempts per
-    round toward the cap.
+    Attempt j of a regen event is `_draw(fold_in(event_key, j))`, so "first
+    solvable wins" over the attempt index is distributionally identical to
+    the reference's sequential retry, while any number of attempts can be
+    drawn and verdicted together.
+
+    Cost shape (measured on TPU, the op trace in RESULTS.md): the verdict
+    is HBM-bound in its gathered conflict/placement planes, so total cost
+    is proportional to *verdict slots*, not rounds.  A draw is solvable
+    w.p. ~0.9, so the main round spends exactly ONE draw per needy lane
+    (speculating more multiplies the dominant cost for a ~10% case), and
+    only the rare stuck lanes (~10% of needy) move to compact tail rounds
+    that speculate `_TAIL_DRAWS` attempts at `_TAIL_LANES` width — wide
+    enough that the tail almost always clears in one round.
 
     Args:
       board: [N, 8, 8] uint8 (fixed during the retry loop).
@@ -231,27 +231,33 @@ def regen_pieces(
         live = jnp.arange(k) < jnp.minimum(cum[-1], k)
         return idx, live
 
-    def spec_round(carry, r, s):
-        """One speculative round over a [r]-lane buffer, s attempts each.
+    def spec_round(carry, r, s, kp, ke):
+        """One round over a [r]-lane buffer, s attempts per lane.
 
         Gathered lanes draw attempts [j0, j0+s), verdict them all in one
         flat [r*s] pass, and take their first solvable draw; lanes with no
         solvable draw keep the last allowed one (so a lane hitting the
         attempt cap holds draw #MAX-1, engine.py:170-172) and stay in
         `todo` unless capped.
+
+        Tier buffers (kp/ke) inside the verdict are sized by the caller to
+        measured demand, not to worst case: a demand spike just re-runs
+        the compacted pass.
         """
         ids, todo, attempts = carry
         idx, live = compact(todo, r)
         j0 = attempts[idx]
         draws = _event_draws(ekey[idx], j0, s)           # [r, s, 3]
         allowed = (j0[:, None] + jnp.arange(s)) < MAX_REGEN_ATTEMPTS
-        fb = jnp.repeat(board[idx], s, axis=0)
-        fv = jnp.repeat(all_valid[idx], s, axis=0)
+        if s == 1:
+            fb, fv = board[idx], all_valid[idx]
+        else:
+            fb = jnp.repeat(board[idx], s, axis=0)
+            fv = jnp.repeat(all_valid[idx], s, axis=0)
         fneed = jnp.repeat(live, s) & allowed.reshape(-1)
         m = r * s
         ok = _verdict_flat(
-            fb, fv, draws.reshape(m, PIECES_PER_TURN), fneed,
-            kp=max(32, m // 4), ke=max(32, m // 8),
+            fb, fv, draws.reshape(m, PIECES_PER_TURN), fneed, kp=kp, ke=ke,
         ).reshape(r, s)
         any_ok = jnp.any(ok, axis=1)
         first = jnp.argmax(ok, axis=1)
@@ -264,23 +270,37 @@ def regen_pieces(
         todo = todo.at[idx].set(still)
         return ids, todo, attempts
 
-    # Main round width: needy lanes are ~N/3 per step under the all-used
-    # cadence, so n//2 has slack; if more lanes need service (sum(need) >
-    # r1), the main loop runs again for the unserved cohort — per-lane
-    # attempt counters keep mixed cohorts correct.
+    # Main round: ONE draw per needy lane.  Needy lanes are ~N/3 per step
+    # under the all-used cadence (measured 0.29*N, scripts_dev/
+    # regen_stats.py), so n//2 has slack; if more lanes need service
+    # (sum(need) > r1, e.g. lockstep regen bursts right after a fleet
+    # reset), the main loop runs again for the unserved cohort — per-lane
+    # attempt counters keep mixed cohorts correct.  Measured tier demand
+    # under random play: 36% of draws miss the disjoint fast path, ~10% of
+    # those reach the exact search.
     r1 = n if n <= 32 else max(32, n // 2)
+    kp1 = max(32, (3 * r1) // 10)
+    ke1 = max(32, r1 // 16)
 
     carry = (piece_ids, need, jnp.zeros(n, jnp.int32))
-    carry = spec_round(carry, r1, _SPEC_DRAWS)
+    carry = spec_round(carry, r1, 1, kp1, ke1)
     carry = jax.lax.while_loop(
         lambda c: jnp.any(c[1] & (c[2] == 0)),
-        lambda c: spec_round(c, r1, _SPEC_DRAWS),
+        lambda c: spec_round(c, r1, 1, kp1, ke1),
         carry,
     )
-    # Tail: lanes whose first _SPEC_DRAWS draws all failed (rare).
+    # Tail: lanes whose first draw failed (~18% of needy, concentrated on
+    # hard boards with correlated low acceptance — the worst lane needs
+    # ~20 draws) burn _TAIL_DRAWS speculative attempts per round.  Width
+    # scales with the fleet so the first tail wave is served in one round;
+    # hard boards fail the disjoint tier more often, so tier buffers are
+    # proportionally larger here.
+    rt = n if n <= 64 else max(64, n // 16)
+    mt = rt * _TAIL_DRAWS
     ids, _, _ = jax.lax.while_loop(
         lambda c: jnp.any(c[1]),
-        lambda c: spec_round(c, min(_TAIL_LANES, n), _SPEC_TAIL),
+        lambda c: spec_round(c, rt, _TAIL_DRAWS,
+                             max(32, mt // 2), max(32, mt // 8)),
         carry,
     )
     return ids, rng

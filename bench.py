@@ -41,14 +41,16 @@ def main():
 
     @jax.jit
     def run_chunk(state, key):
-        def body(state, key_t):
-            actions = sample_valid_actions_device(
-                key_t, observe(state)["action_mask"]
-            )
+        # Carry (state, mask): `step` already returns the next observation,
+        # so the action mask is never recomputed outside the step.
+        def body(carry, key_t):
+            state, mask = carry
+            actions = sample_valid_actions_device(key_t, mask)
             out = step(state, actions, auto_reset=True)
-            return out.state, out.reward.sum()
+            return (out.state, out.obs["action_mask"]), out.reward.sum()
         keys = jr.split(key, chunk)
-        state, rewards = jax.lax.scan(body, state, keys)
+        carry0 = (state, observe(state)["action_mask"])
+        (state, _), rewards = jax.lax.scan(body, carry0, keys)
         return state, rewards.sum()
 
     key = jr.key(1)
