@@ -57,6 +57,11 @@ class PPOConfig:
     # torch modules default to train mode, so the reference's rollout uses
     # batch-stat BN and live dropout; flip this for deterministic rollouts.
     rollout_train_mode: bool = True
+    # Optional linear schedules over `schedule_updates` PPO iterations
+    # (the reference trains at constant lr/entropy; these default off).
+    final_learning_rate: Optional[float] = None
+    final_entropy_coef: Optional[float] = None
+    schedule_updates: int = 0
 
     @property
     def batch_size(self) -> int:
@@ -72,10 +77,29 @@ class TrainState:
 
 
 def make_optimizer(config: PPOConfig) -> optax.GradientTransformation:
+    lr = config.learning_rate
+    if config.final_learning_rate is not None and config.schedule_updates > 0:
+        # The optimizer step count advances once per minibatch gradient step.
+        steps = (config.schedule_updates * config.num_epochs
+                 * max(1, config.batch_size // config.minibatch_size))
+        lr = optax.linear_schedule(
+            config.learning_rate, config.final_learning_rate, steps
+        )
     return optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
-        optax.adam(config.learning_rate, eps=1e-5),
+        optax.adam(lr, eps=1e-5),
     )
+
+
+def entropy_coef_at(config: PPOConfig, update_step: jnp.ndarray) -> jnp.ndarray:
+    """Entropy coefficient for the given PPO iteration (traced-friendly)."""
+    c0 = config.entropy_coef
+    if config.final_entropy_coef is None or config.schedule_updates <= 0:
+        return jnp.float32(c0)
+    frac = jnp.clip(
+        update_step.astype(jnp.float32) / config.schedule_updates, 0.0, 1.0
+    )
+    return jnp.float32(c0) + (jnp.float32(config.final_entropy_coef) - c0) * frac
 
 
 def init_train_state(network, config: PPOConfig, key) -> TrainState:
@@ -233,6 +257,7 @@ def update(network, config: PPOConfig, tx, ts: TrainState, traj,
     adv = advantages.reshape(total)
     adv = (adv - adv.mean()) / (adv.std() + 1e-8)  # ppo.py:196
     ret = returns.reshape(total)
+    ent_coef = entropy_coef_at(config, ts.update_step)
 
     def loss_fn(params, batch_stats, batch, dropout_key):
         obs = _minibatch_obs(batch)
@@ -253,7 +278,7 @@ def update(network, config: PPOConfig, tx, ts: TrainState, traj,
         loss = (
             policy_loss
             + config.value_coef * value_loss
-            - config.entropy_coef * entropy_mean
+            - ent_coef * entropy_mean
         )
         approx_kl = jnp.mean((ratio - 1.0) - jnp.log(ratio))
         clip_frac = jnp.mean(

@@ -47,6 +47,13 @@ def _network_from_config(net_cfg: Dict[str, Any]) -> BlockBlastNetwork:
 def ppo_config_from(config: Dict[str, Any]) -> PPOConfig:
     ppo = config.get("ppo", {})
     tr = config.get("training", {})
+    num_envs = tr.get("num_envs", 64)
+    rollout_steps = tr.get("rollout_steps", 128)
+    # Linear lr/entropy anneal horizon = the planned number of PPO updates
+    # (schedules are off unless a final_* value is configured).
+    schedule_updates = int(
+        tr.get("total_timesteps", 10_000_000) // (num_envs * rollout_steps)
+    )
     return PPOConfig(
         learning_rate=ppo.get("learning_rate", 3e-4),
         gamma=ppo.get("gamma", 0.99),
@@ -57,8 +64,11 @@ def ppo_config_from(config: Dict[str, Any]) -> PPOConfig:
         max_grad_norm=ppo.get("max_grad_norm", 0.5),
         num_epochs=ppo.get("num_epochs", 10),
         minibatch_size=tr.get("batch_size", 2048),
-        rollout_steps=tr.get("rollout_steps", 128),
-        num_envs=tr.get("num_envs", 64),
+        rollout_steps=rollout_steps,
+        num_envs=num_envs,
+        final_learning_rate=ppo.get("final_learning_rate"),
+        final_entropy_coef=ppo.get("final_entropy_coef"),
+        schedule_updates=schedule_updates,
     )
 
 
@@ -117,6 +127,74 @@ class PPOTrainer:
             donate_argnums=(0, 1),
         )
         self.global_step = 0
+        self._eval_fns: Dict[int, Any] = {}
+        self._loaded_extra: Dict[str, Any] = {}
+
+    # ---- deterministic on-device evaluation --------------------------------
+    def _eval_fn(self, num_episodes: int, chunk: int):
+        """Cached jitted evaluator: N parallel episode lanes, greedy policy."""
+        if num_episodes in self._eval_fns:
+            return self._eval_fns[num_episodes]
+
+        from ..engine.step import observe, step
+        from ..models import distributions as D
+
+        network = self.network
+
+        @jax.jit
+        def reset_lanes(keys):
+            return engine_reset(keys)
+
+        @jax.jit
+        def run_chunk(params, batch_stats, state):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+
+            def body(state, _):
+                obs = observe(state)
+                logits, _ = network.apply(
+                    variables, obs["board"], obs["pieces"],
+                    obs["action_mask"], train=False,
+                )
+                out = step(state, D.mode(logits), self.rewards,
+                           auto_reset=False)
+                return out.state, None
+
+            state, _ = jax.lax.scan(body, state, None, length=chunk)
+            return state
+
+        fns = (reset_lanes, run_chunk)
+        self._eval_fns[num_episodes] = fns
+        return fns
+
+    def evaluate(self, num_episodes: int = 100, seed: int = 10_000,
+                 max_steps: int = 8192, chunk: int = 128) -> Dict[str, float]:
+        """Deterministic (greedy) evaluation of the current policy.
+
+        The reference's eval loops episodes sequentially on the host
+        (`scripts/evaluate.py:23-90`); here every episode is a parallel
+        device lane stepped until all lanes terminate.
+        """
+        reset_lanes, run_chunk = self._eval_fn(num_episodes, chunk)
+        state = reset_lanes(make_env_keys(seed, num_episodes))
+        steps = 0
+        while steps < max_steps:
+            state = run_chunk(
+                self.train_state.params, self.train_state.batch_stats, state
+            )
+            steps += chunk
+            done = np.asarray(state.done)
+            if done.all():
+                break
+        scores = np.asarray(state.score, np.float64)
+        return {
+            "eval_score_mean": float(scores.mean()),
+            "eval_score_max": float(scores.max()),
+            "eval_score_median": float(np.median(scores)),
+            "eval_length_mean": float(np.asarray(state.moves).mean()),
+            "eval_completed": float(np.asarray(state.done).sum()),
+        }
 
     @property
     def num_params(self) -> int:
@@ -134,18 +212,28 @@ class PPOTrainer:
         return metrics
 
     # ---- checkpointing ---------------------------------------------------
-    def _payload(self) -> Dict[str, Any]:
-        return {
+    def _payload(self, extra: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        import dataclasses
+
+        env = {f.name: getattr(self.env_state, f.name)
+               for f in dataclasses.fields(self.env_state)}
+        env["rng"] = jr.key_data(env["rng"])
+        payload = {
             "params": self.train_state.params,
             "batch_stats": self.train_state.batch_stats,
             "opt_state": self.train_state.opt_state,
             "update_step": self.train_state.update_step,
             "global_step": np.int64(self.global_step),
             "key": jr.key_data(self.key),
+            "env_state": env,
         }
+        if extra:
+            payload["extra"] = extra
+        return payload
 
-    def save(self, directory: str, name: str) -> str:
-        path = save_checkpoint(directory, name, self._payload())
+    def save(self, directory: str, name: str,
+             extra: Optional[Dict[str, Any]] = None) -> str:
+        path = save_checkpoint(directory, name, self._payload(extra))
         # Sidecar with the architecture/hyperparameters so evaluate/play can
         # rebuild the right network without the training YAML (the reference
         # stores its config inside the .pt file, `ppo.py:425-439`).
@@ -159,17 +247,33 @@ class PPOTrainer:
         return path
 
     def load(self, path: str) -> None:
+        from ..engine.state import EnvState
+
         payload = load_checkpoint(path)
+        # Orbax restores pytrees as plain lists/dicts; rebuild the optax
+        # state's named-tuple structure from a fresh template (named tuples
+        # and lists flatten in the same field order, so the leaves line up).
+        opt_template = self.tx.init(payload["params"])
+        opt_state = jax.tree.unflatten(
+            jax.tree.structure(opt_template),
+            jax.tree.leaves(payload["opt_state"]),
+        )
         ts = TrainState(
             params=payload["params"],
             batch_stats=payload["batch_stats"],
-            opt_state=payload["opt_state"],
+            opt_state=opt_state,
             update_step=jnp.asarray(payload["update_step"]),
         )
         self.train_state = jax.device_put(ts, self._repl_sh)
         self.global_step = int(payload.get("global_step", 0))
         if "key" in payload:
             self.key = jr.wrap_key_data(jnp.asarray(payload["key"]))
+        env = payload.get("env_state")
+        if env is not None and env["board"].shape[0] == self.ppo.num_envs:
+            env = {k: jnp.asarray(v) for k, v in env.items()}
+            env["rng"] = jr.wrap_key_data(env["rng"])
+            self.env_state = jax.device_put(EnvState(**env), self._data_sh)
+        self._loaded_extra = dict(payload.get("extra", {}) or {})
 
     def load_params_only(self, path: str) -> None:
         payload = load_checkpoint(path)
@@ -179,17 +283,58 @@ class PPOTrainer:
         )
 
 
+def _iteration_flops(trainer: "PPOTrainer") -> Optional[float]:
+    """XLA-reported FLOPs of one jitted train iteration (for MFU)."""
+    try:
+        key = jr.key(0)
+        lowered = trainer._train_iter.lower(
+            trainer.train_state, trainer.env_state, key
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+_PEAK_FLOPS = {
+    # bf16 peak per chip
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def _device_peak_flops() -> Optional[float]:
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return v
+    return None
+
+
 def train(
     config: Dict[str, Any],
     resume_path: Optional[str] = None,
     seed: int = 42,
     progress_callback: Optional[Callable[[Dict[str, Any]], bool]] = None,
     total_timesteps: Optional[int] = None,
+    profile: bool = False,
 ) -> Dict[str, Any]:
     """The canonical training entry point (`scripts/train.py:61-312`).
 
     Returns final stats.  `progress_callback(metrics) -> bool` mirrors the
     reference's GUI hook: return False to stop training.
+
+    Beyond the reference: optional deterministic eval every
+    `logging.eval_interval` updates (gates the `best` checkpoint on eval
+    score instead of the stochastic rollout mean), a wall-clock budget
+    (`training.max_hours`), exact resume (env fleet + best + tracker
+    restored from the checkpoint), and `profile=True` for per-phase timing,
+    an MFU estimate, and a one-off `jax.profiler` trace dump.
     """
     import os
 
@@ -197,17 +342,20 @@ def train(
     log_cfg = config.get("logging", {})
     paths = config.get("paths", {})
     total_timesteps = total_timesteps or tr_cfg.get("total_timesteps", 10_000_000)
+    max_hours = tr_cfg.get("max_hours")
 
     ckpt_dir = paths.get("checkpoint_dir", "checkpoints")
     log_dir = paths.get("log_dir", "logs")
     os.makedirs(ckpt_dir, exist_ok=True)
 
     from ..parallel.distributed import is_primary
+    from ..utils.profiling import PhaseTimer
 
     primary = is_primary()
     logger = Logger(log_dir, "ppo", enabled=primary)
     tb = TensorBoardLogger(log_dir, "ppo", enabled=primary)
     tracker = MetricsTracker(window_size=100)
+    timer = PhaseTimer()
 
     trainer = PPOTrainer(config, seed=seed)
     if primary:
@@ -216,32 +364,76 @@ def train(
               f"  batch/update: {trainer.ppo.batch_size}")
         print(f"network parameters: {trainer.num_params:,}")
 
+    best_score = -float("inf")
+    best_eval = -float("inf")
     if resume_path:
         trainer.load(resume_path)
+        best_score = trainer._loaded_extra.get("best_score", best_score)
+        best_eval = trainer._loaded_extra.get("best_eval", best_eval)
+        if "tracker_scores" in trainer._loaded_extra:
+            tracker.update_many(
+                "score", trainer._loaded_extra["tracker_scores"]
+            )
+            tracker.update_many(
+                "length", trainer._loaded_extra.get("tracker_lengths", [])
+            )
         if primary:
             print(f"resumed from {resume_path} at step {trainer.global_step}")
 
     log_interval = log_cfg.get("log_interval", 10)
     save_interval = log_cfg.get("save_interval", 100)
+    eval_interval = log_cfg.get("eval_interval", 0)  # 0 disables in-run eval
+    eval_episodes = log_cfg.get("eval_episodes", 100)
 
-    best_score = -float("inf")
+    flops_per_iter = _iteration_flops(trainer) if profile else None
+    peak_flops = _device_peak_flops() if profile else None
+
+    def _extra():
+        return {
+            "best_score": best_score,
+            "best_eval": best_eval,
+            "tracker_scores": np.asarray(tracker.values("score"), np.float64),
+            "tracker_lengths": np.asarray(tracker.values("length"), np.float64),
+        }
+
     update_idx = 0
     t_start = time.time()
     t_window = t_start
     steps_window = 0
+    iter_window = 0
     stop = False
+    deadline = t_start + max_hours * 3600 if max_hours else None
 
     try:
         while trainer.global_step < total_timesteps and not stop:
-            metrics = trainer.iterate()
+            with timer.phase("train_iter"):
+                metrics = trainer.iterate()
             update_idx += 1
             steps_window += trainer.ppo.batch_size
+            iter_window += 1
 
-            if update_idx % log_interval == 0:
+            if profile and update_idx == 20:
+                trace_dir = os.path.join(log_dir, "trace")
+                with jax.profiler.trace(trace_dir):
+                    with timer.phase("train_iter"):
+                        metrics = trainer.iterate()
+                update_idx += 1
+                steps_window += trainer.ppo.batch_size
+                iter_window += 1
+                if primary:
+                    print(f"profiler trace written to {trace_dir}")
+
+            if deadline and time.time() > deadline:
+                if primary:
+                    print(f"wall-clock budget ({max_hours}h) reached — stopping")
+                stop = True
+
+            if update_idx % log_interval == 0 or stop:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 now = time.time()
                 fps = steps_window / max(now - t_window, 1e-9)
-                t_window, steps_window = now, 0
+                sec_per_iter = (now - t_window) / max(iter_window, 1)
+                t_window, steps_window, iter_window = now, 0, 0
                 tracker.update({
                     "score": metrics["mean_score"],
                     "length": metrics["mean_length"],
@@ -259,16 +451,23 @@ def train(
                     "episodes": metrics["episodes"],
                     "invalid_frac": metrics["invalid_frac"],
                 }
+                if flops_per_iter and peak_flops:
+                    row["mfu"] = flops_per_iter / sec_per_iter / peak_flops
                 logger.log(row, step=trainer.global_step)
                 for k, v in row.items():
                     tag = ("performance/" if k in
-                           ("fps", "avg_score", "max_score", "avg_length")
+                           ("fps", "avg_score", "max_score", "avg_length", "mfu")
                            else "training/")
                     tb.log_scalar(tag + k, v, trainer.global_step)
 
-                if primary and row["avg_score"] > best_score and update_idx > 10:
+                # Without in-run eval, `best` is gated on the rolling mean of
+                # stochastic rollout scores once the window has substance
+                # (the reference compares a 100-episode rolling mean,
+                # `scripts/train.py:228-232`).
+                if (primary and not eval_interval
+                        and row["avg_score"] > best_score and update_idx > 10):
                     best_score = row["avg_score"]
-                    trainer.save(ckpt_dir, "best")
+                    trainer.save(ckpt_dir, "best", extra=_extra())
 
                 if progress_callback is not None:
                     cont = progress_callback(
@@ -277,17 +476,36 @@ def train(
                     if cont is False:
                         stop = True
 
+            if eval_interval and (update_idx % eval_interval == 0 or stop):
+                with timer.phase("eval"):
+                    ev = trainer.evaluate(eval_episodes)
+                logger.log(ev, step=trainer.global_step)
+                for k, v in ev.items():
+                    tb.log_scalar("eval/" + k, v, trainer.global_step)
+                if primary:
+                    print(f"  eval @ {trainer.global_step}: "
+                          f"mean {ev['eval_score_mean']:.1f}  "
+                          f"max {ev['eval_score_max']:.0f}  "
+                          f"len {ev['eval_length_mean']:.1f}")
+                if primary and ev["eval_score_mean"] > best_eval:
+                    best_eval = ev["eval_score_mean"]
+                    trainer.save(ckpt_dir, "best", extra=_extra())
+
             if primary and update_idx % save_interval == 0:
-                trainer.save(ckpt_dir, f"checkpoint_{trainer.global_step}")
-                trainer.save(ckpt_dir, "latest")
+                with timer.phase("checkpoint"):
+                    trainer.save(ckpt_dir, f"checkpoint_{trainer.global_step}",
+                                 extra=_extra())
+                    trainer.save(ckpt_dir, "latest", extra=_extra())
     except KeyboardInterrupt:
         if primary:
             print("interrupted — saving final checkpoint")
     finally:
         if primary:
-            trainer.save(ckpt_dir, "final")
+            trainer.save(ckpt_dir, "final", extra=_extra())
             logger.save_summary()
             tb.close()
+            if profile:
+                print(timer.report())
 
     elapsed = time.time() - t_start
     return {
@@ -295,5 +513,6 @@ def train(
         "elapsed_sec": elapsed,
         "steps_per_sec": trainer.global_step / max(elapsed, 1e-9),
         "best_score": best_score,
+        "best_eval": best_eval,
         "trainer": trainer,
     }

@@ -10,6 +10,8 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", default=None, help="checkpoint to resume from")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--total-timesteps", type=int, default=None)
+    ap.add_argument("--profile", action="store_true",
+                    help="per-phase timing, MFU estimate, one trace dump")
     args = ap.parse_args(argv)
 
     from ..agent.trainer import train
@@ -23,6 +25,7 @@ def main(argv=None) -> int:
         resume_path=args.resume,
         seed=args.seed,
         total_timesteps=args.total_timesteps,
+        profile=args.profile,
     )
     print(f"done: {stats['global_step']:,} steps in "
           f"{stats['elapsed_sec']:.1f}s "

@@ -159,6 +159,28 @@ PAIR_CONFLICT: np.ndarray = _T["pair_conflict"]      # [37, 37, 64, 64] bool
 del _T
 
 
+def _pack_bits(flat: np.ndarray) -> np.ndarray:
+    """Pack a trailing [64]-cell axis into [2] uint32 words (cell i -> word
+    i // 32, bit i % 32).  The bitboard encoding used by the solvability
+    kernels: one 8x8 board is 64 bits, so overlap tests and line clears
+    become a couple of u32 ops instead of 64-element reductions."""
+    b = flat.astype(np.uint32).reshape(*flat.shape[:-1], 2, 32)
+    return (b << np.arange(32, dtype=np.uint32)).sum(
+        axis=-1, dtype=np.uint32
+    )
+
+
+# Bit-packed occupancy of each anchored piece: [37, 64 anchors, 2] uint32.
+PLACE_BITS: np.ndarray = _pack_bits(PLACEMENT)
+
+# NO_CONFLICT_BITS[p, q, a]: bitmask over anchors b of q that are in-bounds
+# and whose placement shares no cell with p@a — the bit-packed complement of
+# PAIR_CONFLICT, [37, 37, 64 anchors-of-p, 2] uint32 (~700 KB).
+NO_CONFLICT_BITS: np.ndarray = _pack_bits(
+    (~PAIR_CONFLICT) & ANCHOR_OK[None, :, None, :]
+)
+
+
 def piece_mask(index: int, board_size: int = BOARD_SIZE) -> np.ndarray:
     """Render piece `index` at the origin of a board-sized grid."""
     if board_size == BOARD_SIZE:

@@ -13,15 +13,17 @@ import jax.numpy as jnp
 import jax.random as jr
 from flax import struct
 
-from .kernel import empty_boards, gather_piece_validity, valid_anchors_all_pieces
+from .kernel import empty_boards
 from .solvability import (
+    board_bits,
     clear_candidates,
-    solvable_clear1,
-    solvable_disjoint,
-    solvable_exact,
+    solvable_clear1_bits,
+    solvable_disjoint_bits,
+    solvable_exact_bits,
     unsolvable_certain,
+    valid3_bits,
 )
-from .tables import ANCHOR_OK, NUM_PIECE_TYPES, PIECES_PER_TURN
+from .tables import NUM_PIECE_TYPES, PIECES_PER_TURN
 
 MAX_REGEN_ATTEMPTS = 100  # reference cap, `engine.py:161`
 
@@ -82,8 +84,8 @@ def fresh_pieces(keys: jnp.ndarray) -> jnp.ndarray:
 
 
 def _verdict_flat(
+    fbits: jnp.ndarray,
     fboard: jnp.ndarray,
-    favalid: jnp.ndarray,
     fids: jnp.ndarray,
     fneed: jnp.ndarray,
     kp: int,
@@ -91,27 +93,26 @@ def _verdict_flat(
 ) -> jnp.ndarray:
     """Exact solvability verdict for a flat batch of candidate draws.
 
-    Tiered like `solvable` but built for batches where most slots carry a
-    candidate: the disjoint fast path runs at full width (accepts ~77% of
-    draws), the clear1-accept / certain-reject screens run over [kp]-slot
-    compacted buffers (resolve ~71% of the remainder), and the exact
-    first-clear decomposition runs over [ke]-slot buffers for the rest.
-    Every tier is sound, so `fast | screens | exact` equals the reference
+    Tiered on bitboards (see `bbx.engine.solvability`): the disjoint fast
+    path runs at full width (accepts ~64% of draws), the clear1-accept /
+    certain-reject screens run over [kp]-slot compacted buffers, and the
+    exhaustive bit search runs over [ke]-slot buffers for the rest.  Every
+    tier is sound, so `fast | screens | exact` equals the reference
     predicate (`/root/reference/src/game/engine.py:174-238`).
 
     Args:
-      fboard: [M, 8, 8] uint8.
-      favalid: [M, 37, 64] bool — validity of all pieces on each board.
+      fbits: [M, 2] uint32 bitboards.
+      fboard: [M, 8, 8] uint8 (for the row/col-count clear predictions).
       fids: [M, 3] int32 candidate draws.
       fneed: [M] bool — slots holding a real candidate.
-      kp: screen-buffer width (>= typical 0.23*M pending slots).
-      ke: exact-buffer width (>= typical 0.07*M unknown slots).
+      kp: screen-buffer width (>= typical pending demand).
+      ke: exact-buffer width.
     Returns:
       [M] bool — solvable, False wherever ~fneed.
     """
-    m = fboard.shape[0]
-    v3 = gather_piece_validity(favalid, fids)
-    fast = solvable_disjoint(v3, fids) & fneed
+    m = fbits.shape[0]
+    v3 = valid3_bits(fbits, fids)
+    fast = solvable_disjoint_bits(fbits, fids, v3) & fneed
     todo_s = fneed & ~fast
 
     def compact(mask, k):
@@ -127,7 +128,7 @@ def _verdict_flat(
         idx, live = compact(todo_s, kp)
         sb, si, sv = fboard[idx], fids[idx], v3[idx]
         cand = clear_candidates(sb, si, sv)
-        acc = solvable_clear1(sb, si, cand) & live
+        acc = solvable_clear1_bits(fbits[idx], si, cand) & live
         rej = unsolvable_certain(sb, si, sv, cand) & live & ~acc
         ok = ok.at[idx].set(acc | ok[idx])
         todo_e = todo_e.at[idx].set(live & ~acc & ~rej)
@@ -137,7 +138,7 @@ def _verdict_flat(
     def exact_pass(carry):
         ok, todo_s, todo_e = carry
         idx, live = compact(todo_e, ke)
-        res = solvable_exact(fboard[idx], fids[idx], v3[idx], live) & live
+        res = solvable_exact_bits(fbits[idx], fids[idx], v3[idx]) & live
         ok = ok.at[idx].set(res | ok[idx])
         todo_e = todo_e.at[idx].set(False)
         return ok, todo_s, todo_e
@@ -175,7 +176,6 @@ _TAIL_DRAWS = 4  # speculative attempts per tail round for stuck lanes
 
 def regen_pieces(
     board: jnp.ndarray,
-    all_valid: jnp.ndarray,
     piece_ids: jnp.ndarray,
     rng: jnp.ndarray,
     need: jnp.ndarray,
@@ -202,7 +202,6 @@ def regen_pieces(
 
     Args:
       board: [N, 8, 8] uint8 (fixed during the retry loop).
-      all_valid: [N, 37, 64] — validity of all pieces on `board` (hoisted).
       piece_ids: [N, 3] current ids (returned untouched where ~need).
       rng: [N] typed keys.
       need: [N] bool.
@@ -210,6 +209,7 @@ def regen_pieces(
       (new_piece_ids [N,3], new_rng [N]).
     """
     n = board.shape[0]
+    bits = board_bits(board)  # [N, 2] u32, fixed during the retry loop
 
     # One rng advance per regen event; attempts come from the event key.
     split = jax.vmap(lambda k: jr.split(k, 2))(rng)
@@ -250,14 +250,14 @@ def regen_pieces(
         draws = _event_draws(ekey[idx], j0, s)           # [r, s, 3]
         allowed = (j0[:, None] + jnp.arange(s)) < MAX_REGEN_ATTEMPTS
         if s == 1:
-            fb, fv = board[idx], all_valid[idx]
+            fbits, fb = bits[idx], board[idx]
         else:
+            fbits = jnp.repeat(bits[idx], s, axis=0)
             fb = jnp.repeat(board[idx], s, axis=0)
-            fv = jnp.repeat(all_valid[idx], s, axis=0)
         fneed = jnp.repeat(live, s) & allowed.reshape(-1)
         m = r * s
         ok = _verdict_flat(
-            fb, fv, draws.reshape(m, PIECES_PER_TURN), fneed, kp=kp, ke=ke,
+            fbits, fb, draws.reshape(m, PIECES_PER_TURN), fneed, kp=kp, ke=ke,
         ).reshape(r, s)
         any_ok = jnp.any(ok, axis=1)
         first = jnp.argmax(ok, axis=1)

@@ -170,7 +170,7 @@ def step(
     all_used = jnp.all(used_after, axis=1) & valid
     all_valid = K.valid_anchors_all_pieces(new_board)
     ids_after, rng_after = regen_pieces(
-        new_board, all_valid, state.piece_ids, state.rng, all_used
+        new_board, state.piece_ids, state.rng, all_used
     )
     used_after = jnp.where(all_used[:, None], False, used_after)
 

@@ -41,6 +41,12 @@ PLACEMENT_BF16 = PLACEMENT.astype(jnp.bfloat16)             # [37, 64, 64]
 NO_CONFLICT_BF16 = (~P.PAIR_CONFLICT).astype("float32")
 NO_CONFLICT_BF16 = jnp.asarray(NO_CONFLICT_BF16, dtype=jnp.bfloat16)
 
+# Bit-packed geometry for the bitboard solvability kernels: a board is two
+# u32 words (cell i -> word i//32, bit i%32), so per-anchor overlap tests
+# are two ANDs instead of a 64-cell contraction.
+PLACE_BITS = jnp.asarray(P.PLACE_BITS)                      # [37, 64, 2] u32
+NO_CONFLICT_BITS = jnp.asarray(P.NO_CONFLICT_BITS)          # [37,37,64,2] u32
+
 # Per-line cell counts of each anchored piece: placing piece p at anchor a on
 # a board it does not overlap completes row r iff
 # ``rowsum[r] + ROW_COUNT[p, a, r] == 8`` (and likewise for columns).  These

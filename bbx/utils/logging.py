@@ -143,6 +143,14 @@ class MetricsTracker:
         for k, v in metrics.items():
             self.add(k, v)
 
+    def update_many(self, key: str, values) -> None:
+        for v in values:
+            self.add(key, v)
+
+    def values(self, key: str) -> list:
+        """Current window contents, oldest first (for checkpoint/resume)."""
+        return list(self.metrics.get(key, ()))
+
     def get_mean(self, key: str) -> float:
         vals = self.metrics.get(key)
         return sum(vals) / len(vals) if vals else 0.0

@@ -64,9 +64,9 @@ bench(jax.jit(functools.partial(step, auto_reset=True)), state, actions, name="o
 # regen in isolation: force need on ~1/3 lanes
 need = (jnp.arange(N) % 3) == 0
 all_valid = jax.jit(K.valid_anchors_all_pieces)(state.board)
-bench(jax.jit(regen_pieces), state.board, all_valid, state.piece_ids, state.rng, need,
+bench(jax.jit(regen_pieces), state.board, state.piece_ids, state.rng, need,
       name="regen_pieces (1/3 lanes)")
-bench(jax.jit(regen_pieces), state.board, all_valid, state.piece_ids, state.rng,
+bench(jax.jit(regen_pieces), state.board, state.piece_ids, state.rng,
       jnp.zeros(N, bool), name="regen_pieces (0 lanes)")
 
 # solvable components
