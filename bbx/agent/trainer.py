@@ -105,14 +105,8 @@ class PPOTrainer:
         key = jr.key(seed)
         self.key, k_init = jr.split(key)
         ts = init_train_state(self.network, self.ppo, k_init)
-        self.train_state: TrainState = jax.device_put(ts, self._repl_sh)
-
-        env_keys = jax.device_put(
-            make_env_keys(seed, self.ppo.num_envs), self._data_sh
-        )
-        self.env_state = jax.jit(
-            engine_reset, out_shardings=self._data_sh
-        )(env_keys)
+        self.train_state: TrainState = self._put_replicated(ts)
+        self.env_state = self._initial_env_state(seed)
 
         def _iter(ts, env_state, key):
             return train_iteration(
@@ -129,6 +123,54 @@ class PPOTrainer:
         self.global_step = 0
         self._eval_fns: Dict[int, Any] = {}
         self._loaded_extra: Dict[str, Any] = {}
+
+    # ---- multi-process placement -------------------------------------------
+    def _put_replicated(self, tree):
+        """Replicate a host-identical pytree over the (possibly multi-host)
+        mesh.  Values are bitwise-identical on every process (same seed), so
+        assembling from process-local data is exact."""
+        if jax.process_count() == 1:
+            return jax.device_put(tree, self._repl_sh)
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                self._repl_sh, np.asarray(x)
+            ),
+            tree,
+        )
+
+    def _initial_env_state(self, seed: int):
+        """Reset the env fleet sharded over `data`.
+
+        Single process: one jitted reset with sharded outputs.  Multi-process
+        (SURVEY.md §2.8 "per-host env shards"): each host resets only its
+        contiguous `host_env_slice` of the global fleet and the shards are
+        assembled into global arrays — no env data ever crosses hosts.
+        """
+        n = self.ppo.num_envs
+        if jax.process_count() == 1:
+            env_keys = jax.device_put(make_env_keys(seed, n), self._data_sh)
+            return jax.jit(engine_reset, out_shardings=self._data_sh)(env_keys)
+
+        import dataclasses
+
+        from ..parallel.distributed import host_env_slice
+
+        start, count = host_env_slice(n)
+        local = jax.jit(engine_reset)(
+            make_env_keys(seed, n)[start:start + count]
+        )
+        leaves = {f.name: getattr(local, f.name)
+                  for f in dataclasses.fields(local)}
+        leaves["rng"] = jr.key_data(leaves["rng"])
+        global_leaves = {
+            k: jax.make_array_from_process_local_data(
+                self._data_sh, np.asarray(v)
+            )
+            for k, v in leaves.items()
+        }
+        global_leaves["rng"] = jr.wrap_key_data(global_leaves["rng"])
+        from ..engine.state import EnvState
+        return EnvState(**global_leaves)
 
     # ---- deterministic on-device evaluation --------------------------------
     def _eval_fn(self, num_episodes: int, chunk: int):
