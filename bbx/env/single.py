@@ -112,8 +112,7 @@ class BlockBlastEnv(_EnvBase):
             "max_combo": int(s.max_streak[0]),
             "blocks_placed": int(s.blocks_total[0]),
             "board_fill": float(np.asarray(s.board[0]).sum() / 64.0),
-            "holes": int(np.asarray(
-                jax.jit(lambda b: _holes(b))(s.board))[0]),
+            "holes": int(np.asarray(_holes_jit(s.board))[0]),
             "invalid_action": False,
         }
         if step_info is not None:
@@ -190,6 +189,12 @@ def _holes(board):
     h = ((~filled) & padded[:, :-2, 1:-1] & padded[:, 2:, 1:-1]
          & padded[:, 1:-1, :-2] & padded[:, 1:-1, 2:])
     return jnp.sum(h, axis=(1, 2)).astype(jnp.int32)
+
+
+# Jitted once at module scope: `_get_info` runs on every host-facing
+# `step()`/`reset()` (the GUI watch loop and play CLI hot path), so a fresh
+# `jax.jit` per call would retrace every step.
+_holes_jit = jax.jit(_holes)
 
 
 class BlockBlastEnvFlat(BlockBlastEnv):

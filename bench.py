@@ -6,10 +6,18 @@ throughput of ~180 env-steps/s over 64 Python envs (report §4.1,
 BASELINE.md).  Here the fleet of environments steps on-device under one
 jitted scan with a random-valid-action policy.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Self-validating methodology (the round-1 bench printed one unexplained
+number from a single timing window): several independently timed windows,
+median + spread reported, and a loud failure if the windows disagree by
+more than 20% — a tunnel hiccup then shows up as a failed run, not as a
+silently wrong number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import os
+import statistics
+import sys
 import time
 
 # Persistent compilation cache: the step program is large and the TPU
@@ -23,18 +31,18 @@ import jax.numpy as jnp
 import jax.random as jr
 
 BASELINE_ENV_STEPS_PER_SEC = 180.0  # reference, consumer CPU (BASELINE.md)
+MAX_REL_SPREAD = 0.20
 
 
 def main():
     from bbx.engine.state import make_env_keys, reset
-    from bbx.engine.step import step
+    from bbx.engine.step import observe, step
     from bbx.env.vector import sample_valid_actions_device
 
     num_envs = int(os.environ.get("BBX_BENCH_ENVS", 16384))
     chunk = int(os.environ.get("BBX_BENCH_CHUNK", 64))
-    iters = int(os.environ.get("BBX_BENCH_ITERS", 10))
-
-    from bbx.engine.step import observe
+    windows = int(os.environ.get("BBX_BENCH_WINDOWS", 5))
+    iters = int(os.environ.get("BBX_BENCH_ITERS", 2))  # chunks per window
 
     keys = make_env_keys(0, num_envs)
     state = jax.jit(reset)(keys)
@@ -54,28 +62,40 @@ def main():
         return state, rewards.sum()
 
     key = jr.key(1)
-    # Warmup/compile.
+    # Warmup: compile + move the fleet into a realistic mid-game state mix.
     key, k = jr.split(key)
     state, _ = run_chunk(state, k)
     jax.block_until_ready(state)
 
-    t0 = time.perf_counter()
-    total = 0.0
-    for _ in range(iters):
-        key, k = jr.split(key)
-        state, r = run_chunk(state, k)
-        total += float(r)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, k = jr.split(key)
+            state, r = run_chunk(state, k)
+        jax.block_until_ready(state)
+        dt = time.perf_counter() - t0
+        rates.append(num_envs * chunk * iters / dt)
 
-    steps = num_envs * chunk * iters
-    sps = steps / dt
-    print(json.dumps({
+    med = statistics.median(rates)
+    spread = (max(rates) - min(rates)) / med
+    result = {
         "metric": "env_steps_per_sec",
-        "value": round(sps, 1),
+        "value": round(med, 1),
         "unit": "steps/s",
-        "vs_baseline": round(sps / BASELINE_ENV_STEPS_PER_SEC, 1),
-    }))
+        "vs_baseline": round(med / BASELINE_ENV_STEPS_PER_SEC, 1),
+        "windows": [round(r, 1) for r in rates],
+        "rel_spread": round(spread, 3),
+        "num_envs": num_envs,
+        "chunk": chunk,
+        "device": jax.devices()[0].device_kind,
+    }
+    if spread > MAX_REL_SPREAD:
+        print(json.dumps({**result, "error":
+                          f"window spread {spread:.1%} exceeds "
+                          f"{MAX_REL_SPREAD:.0%} — rerun"}))
+        sys.exit(1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

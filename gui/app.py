@@ -155,13 +155,22 @@ class BlockBlastGUI:
         tray.grid(row=0, column=1, padx=12, sticky="n")
         tk.Label(tray, text="Pieces", fg=FG, bg=BG,
                  font=("Helvetica", 12, "bold")).pack()
+        # Tray pieces support both interactions of the reference GUI
+        # (`/root/reference/gui/app.py:613-654`): drag-and-drop with a
+        # floating semi-transparent piece window, and click-to-select with
+        # a hover ghost on the board.
         self.tray_canvases = []
+        self._drag = None
+        self._drag_win = None
         for i in range(3):
             c = tk.Canvas(tray, width=TRAY_CELL * 5 + 8,
                           height=TRAY_CELL * 5 + 8, bg=GRID_BG,
                           highlightthickness=2, highlightbackground=GRID_LINE)
             c.pack(pady=6)
-            c.bind("<Button-1>", lambda e, slot=i: self._select_slot(slot))
+            c.bind("<Button-1>", lambda e, slot=i: self._start_drag(e, slot))
+            c.bind("<B1-Motion>", lambda e, slot=i: self._drag_motion(e))
+            c.bind("<ButtonRelease-1>",
+                   lambda e, slot=i: self._end_drag(e, slot))
             self.tray_canvases.append(c)
 
         btns = tk.Frame(f, bg=BG)
@@ -210,16 +219,115 @@ class BlockBlastGUI:
         r, c = int(event.y // CELL), int(event.x // CELL)
         if not (0 <= r < 8 and 0 <= c < 8):
             return
-        action = self.selected_slot * 64 + r * 8 + c
-        obs, reward, done, _, info = self.env.step(action)
+        self._try_place(self.selected_slot, r, c)
+
+    # ---- drag-and-drop (reference `gui/app.py:613-654`) --------------------
+    def _start_drag(self, event, slot):
+        if self.env is None:
+            return
+        _, ids, used = self._env_arrays()
+        if used[slot] or bool(self.env.state.done[0]):
+            return
+        from bbx.engine import pieces as P
+
+        self._drag = {"slot": slot, "moved": False}
+        pid = ids[slot]
+        arr = P.piece_shape_array(pid)
+        color = PIECE_COLORS[pid % len(PIECE_COLORS)]
+        win = tk.Toplevel(self.root)
+        win.overrideredirect(True)
+        try:
+            win.attributes("-alpha", 0.75)
+        except tk.TclError:
+            pass
+        w = arr.shape[1] * TRAY_CELL
+        h = arr.shape[0] * TRAY_CELL
+        cv = tk.Canvas(win, width=w, height=h, bg=GRID_BG,
+                       highlightthickness=0)
+        cv.pack()
+        for r in range(arr.shape[0]):
+            for c in range(arr.shape[1]):
+                if arr[r, c]:
+                    self._draw_cell(cv, c * TRAY_CELL, r * TRAY_CELL,
+                                    TRAY_CELL - 2, color)
+        self._drag_win = win
+        self._drag_move_window()
+
+    def _drag_move_window(self):
+        if self._drag_win is None:
+            return
+        x = self.root.winfo_pointerx() - TRAY_CELL
+        y = self.root.winfo_pointery() - TRAY_CELL
+        self._drag_win.geometry(f"+{x}+{y}")
+
+    def _pointer_board_cell(self):
+        """Board (row, col) under the mouse pointer, or None."""
+        bx = self.root.winfo_pointerx() - self.board_canvas.winfo_rootx()
+        by = self.root.winfo_pointery() - self.board_canvas.winfo_rooty()
+        r, c = int(by // CELL), int(bx // CELL)
+        if 0 <= r < 8 and 0 <= c < 8 and bx >= 0 and by >= 0:
+            return r, c
+        return None
+
+    def _drag_motion(self, event):
+        if self._drag is None:
+            return
+        self._drag["moved"] = True
+        self.selected_slot = self._drag["slot"]
+        self._drag_move_window()
+        self._set_hover(self._pointer_board_cell())
+
+    def _end_drag(self, event, slot):
+        if self._drag is None:
+            return
+        drag, self._drag = self._drag, None
+        if self._drag_win is not None:
+            self._drag_win.destroy()
+            self._drag_win = None
+        cell = self._pointer_board_cell()
+        if drag["moved"] and cell is not None:
+            self.selected_slot = drag["slot"]
+            self._try_place(drag["slot"], *cell)
+        elif not drag["moved"]:
+            # A press-and-release on the tray is the click-to-select path.
+            self._select_slot(slot)
+        else:
+            self._set_hover(None)
+
+    def _try_place(self, slot, r, c):
+        """Execute a placement; flash cleared lines, red-flash invalid."""
+        board_before, ids, _ = self._env_arrays()
+        obs, reward, done, _, info = self.env.step(slot * 64 + r * 8 + c)
         if info.get("invalid_action"):
             self.board_canvas.configure(highlightbackground="#e74c3c")
             self.root.after(
                 150, lambda: self.board_canvas.configure(
                     highlightbackground=GRID_LINE))
-        else:
-            self.selected_slot = None
+            self._draw_play(game_over=done)
+            return
+        self.selected_slot = None
+        self.hover_cell = None
+        lm = info.get("last_move") or {}
         self._draw_play(game_over=done)
+        if lm.get("lines_cleared"):
+            from bbx.engine import pieces as P
+
+            board_after, _, _ = self._env_arrays()
+            placed = {(r + dr, c + dc) for dr, dc in P.PIECE_OFFSETS[ids[slot]]}
+            flash = [
+                (rr, cc) for rr in range(8) for cc in range(8)
+                if not board_after[rr, cc]
+                and (board_before[rr, cc] or (rr, cc) in placed)
+            ]
+            for rr, cc in flash:
+                self.board_canvas.create_rectangle(
+                    cc * CELL + 1, rr * CELL + 1,
+                    (cc + 1) * CELL - 1, (rr + 1) * CELL - 1,
+                    fill="#ffffff", stipple="gray75", outline="",
+                    tags="flash",
+                )
+            self.root.after(
+                140, lambda: self._draw_play(game_over=done))
 
     def _draw_cell(self, canvas, x, y, size, color):
         """3D-shaded block (the reference's beveled cells)."""
