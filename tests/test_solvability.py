@@ -227,3 +227,71 @@ def test_exact_decomposition_equals_oracle():
     np.testing.assert_array_equal(got, oracle & ~fast)
     # distribution must exercise both branches
     assert (got & ~fast).sum() > 20 and ((~got) & ~fast).sum() > 20
+
+
+# ---------------------------------------------------------------------------
+# Bitboard kernels (the production regen path) vs the dense oracles.
+# ---------------------------------------------------------------------------
+
+def _random_boards_and_ids(seed, n):
+    rng = np.random.default_rng(seed)
+    fills = rng.uniform(0.0, 0.8, n)
+    raw = (rng.random((n, 8, 8)) < fills[:, None, None]).astype(np.uint8)
+    board, _, _ = jax.jit(K.clear_lines)(jnp.asarray(raw))
+    ids = jnp.asarray(rng.integers(0, 37, (n, 3)), jnp.int32)
+    return jnp.asarray(raw), board, ids
+
+
+def test_bitboard_pack_unpack_roundtrip():
+    _, board, _ = _random_boards_and_ids(0, 256)
+    flat = board.reshape(-1, 64)
+    bits = S.pack_cells(flat)
+    np.testing.assert_array_equal(np.asarray(S.unpack_cells(bits)),
+                                  np.asarray(flat > 0))
+
+
+def test_bitboard_clear_lines_matches_dense():
+    raw, board, _ = _random_boards_and_ids(1, 256)
+    for b in (raw, board):  # with and without pre-existing full lines
+        flat = b.reshape(-1, 64)
+        got = S.unpack_cells(jax.jit(S.clear_lines_bits)(S.pack_cells(flat)))
+        ref = K.clear_lines_flat(flat) > 0
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_bitboard_validity_matches_matmul():
+    _, board, ids = _random_boards_and_ids(2, 256)
+    bits = S.board_bits(board)
+    ref = K.gather_piece_validity(
+        jax.jit(K.valid_anchors_all_pieces)(board), ids
+    )
+    got = jax.jit(S.valid3_bits)(bits, ids)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_bitboard_disjoint_matches_dense():
+    _, board, ids = _random_boards_and_ids(3, 512)
+    bits = S.board_bits(board)
+    v3 = jax.jit(S.valid3_bits)(bits, ids)
+    ref = jax.jit(S.solvable_disjoint)(v3, ids)
+    got = jax.jit(S.solvable_disjoint_bits)(bits, ids, v3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_bitboard_clear1_matches_dense():
+    _, board, ids = _random_boards_and_ids(4, 512)
+    bits = S.board_bits(board)
+    v3 = jax.jit(S.valid3_bits)(bits, ids)
+    cand = jax.jit(S.clear_candidates)(board, ids, v3)
+    ref = jax.jit(S.solvable_clear1)(board, ids, cand)
+    got = jax.jit(S.solvable_clear1_bits)(bits, ids, cand)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_bitboard_exact_matches_brute_oracle():
+    _, board, ids = _random_boards_and_ids(5, 256)
+    bits = S.board_bits(board)
+    v3 = jax.jit(S.valid3_bits)(bits, ids)
+    ref = jax.jit(lambda b, i: S.solvable_full(b, i, a1_block=8))(board, ids)
+    got = jax.jit(S.solvable_exact_bits)(bits, ids, v3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
