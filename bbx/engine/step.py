@@ -24,6 +24,7 @@ import jax.random as jr
 from flax import struct
 
 from . import kernel as K
+from . import solvability as S
 from .state import EnvState, fresh_pieces, regen_pieces
 from .tables import (
     ANCHOR_OK,
@@ -64,12 +65,17 @@ class StepOutput(NamedTuple):
     info: dict           # per-env diagnostic arrays
 
 
-def observe(state: EnvState, all_valid: jnp.ndarray | None = None) -> dict:
+def observe(state: EnvState, valid3: jnp.ndarray | None = None) -> dict:
     """Build the network observation (`engine.get_observation`,
-    `engine.py:478-507`; flat 192 mask per `block_blast_env.py:134-146`)."""
-    if all_valid is None:
-        all_valid = K.valid_anchors_all_pieces(state.board)
-    mask3 = K.action_mask(all_valid, state.piece_ids, state.used)
+    `engine.py:478-507`; flat 192 mask per `block_blast_env.py:134-146`).
+
+    `valid3` is the [N, 3, 64] per-slot anchor validity, computed from the
+    bitboard if not supplied (only the three drawn pieces ever need a mask,
+    so the 37-piece validity tensor is never materialized on this path).
+    """
+    if valid3 is None:
+        valid3 = S.valid3_bits(S.board_bits(state.board), state.piece_ids)
+    mask3 = valid3 & ~state.used[:, :, None]
     mask3 = mask3 & ~state.done[:, None, None]
     pieces = PIECE_MASKS[state.piece_ids]  # [N, 3, 8, 8]
     pieces = pieces * (~state.used[:, :, None, None]).astype(jnp.float32)
@@ -168,14 +174,14 @@ def step(
 
     # Regenerate pieces when all three are used (engine.py:432-437).
     all_used = jnp.all(used_after, axis=1) & valid
-    all_valid = K.valid_anchors_all_pieces(new_board)
     ids_after, rng_after = regen_pieces(
         new_board, state.piece_ids, state.rng, all_used
     )
     used_after = jnp.where(all_used[:, None], False, used_after)
 
     # Game over: no unused piece has a valid placement (engine.py:440-441).
-    mask3 = K.action_mask(all_valid, ids_after, used_after)
+    valid3 = S.valid3_bits(S.board_bits(new_board), ids_after)
+    mask3 = valid3 & ~used_after[:, :, None]
     no_moves = ~jnp.any(mask3.reshape(n, -1), axis=1)
     done_after = jnp.where(valid, no_moves, state.done)
     game_over_now = valid & no_moves & ~state.done
@@ -272,9 +278,12 @@ def step(
             ep_len=jnp.where(d, 0, new_state.ep_len),
             rng=reset_rng,
         )
-        # Masks for reset lanes come from the empty board: ANCHOR_OK itself.
-        all_valid = jnp.where(d[:, None, None], ANCHOR_OK[None], all_valid)
+        # Masks for reset lanes come from the empty board: ANCHOR_OK of the
+        # freshly drawn pieces.
+        valid3 = jnp.where(
+            d[:, None, None], ANCHOR_OK[new_state.piece_ids], valid3
+        )
 
-    obs = observe(new_state, all_valid)
+    obs = observe(new_state, valid3)
     done_flag = game_over_now
     return StepOutput(new_state, obs, reward, done_flag, info)
