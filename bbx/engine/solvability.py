@@ -199,6 +199,27 @@ def solvable_clear1_bits(
     return jnp.any(ok, axis=1)
 
 
+def _clear_lines_words(b0: jnp.ndarray, b1: jnp.ndarray):
+    """`clear_lines_bits` on the two board words as separate arrays (any
+    matching shape) — avoids a trailing [2] axis, which lowers to strided
+    per-word slices on TPU."""
+    def rowmask(b):
+        m = jnp.zeros_like(b)
+        for k in range(4):
+            full = ((b >> (8 * k)) & _BYTE) == _BYTE
+            m = m | jnp.where(full, jnp.uint32(0xFF << (8 * k)),
+                              jnp.uint32(0))
+        return m
+
+    def colbits(b):
+        cm = b & (b >> 8)
+        cm = cm & (cm >> 16)
+        return cm & _BYTE
+
+    colmask = (colbits(b0) & colbits(b1)) * jnp.uint32(0x01010101)
+    return b0 & ~(rowmask(b0) | colmask), b1 & ~(rowmask(b1) | colmask)
+
+
 def solvable_exact_bits(
     bits: jnp.ndarray, piece_ids: jnp.ndarray, valid3: jnp.ndarray
 ) -> jnp.ndarray:
@@ -207,9 +228,11 @@ def solvable_exact_bits(
 
     The bf16 `solvable_exact` needed candidate prediction, top-k selection,
     and a while-loop to bound its MXU/HBM cost; on bitboards the FULL
-    enumeration is a fused AND/OR-reduce over [K, 64, 64, 64, 2] u32 —
-    cheap enough at the compacted tier width to run in one pass with no
-    control flow.  Matches the reference recursion (`engine.py:174-238`).
+    enumeration is a fused AND/OR-reduce cheap enough at the compacted tier
+    width to run in one pass with no control flow.  The two board words are
+    carried as separate [K, 64, 64] planes (a trailing [2] axis lowers to
+    strided per-word slices on TPU) and the a3 reduction runs over the
+    minor-most axis.  Matches the reference recursion (`engine.py:174-238`).
 
     Args:
       bits: [K, 2] uint32 boards.
@@ -220,26 +243,32 @@ def solvable_exact_bits(
     """
     k = bits.shape[0]
     pb = PLACE_BITS[piece_ids]                        # [K, 3, 64, 2]
+    pb0, pb1 = pb[..., 0], pb[..., 1]                 # [K, 3, 64]
     aok = ANCHOR_OK[piece_ids]                        # [K, 3, 64]
     ok = jnp.zeros(k, bool)
     for i in range(3):
         # Boards after piece i at every anchor, clears applied.
-        b1 = clear_lines_bits(bits[:, None, :] | pb[:, i])  # [K, 64a1, 2]
+        b1_0, b1_1 = _clear_lines_words(
+            bits[:, None, 0] | pb0[:, i], bits[:, None, 1] | pb1[:, i]
+        )                                             # [K, 64a1] each
         for j in range(3):
             if j == i:
                 continue
             h = 3 - i - j
-            ov2 = b1[:, :, None, :] & pb[:, j][:, None, :, :]
-            v2 = aok[:, j][:, None, :] & ((ov2[..., 0] | ov2[..., 1]) == 0)
-            b2 = clear_lines_bits(
-                b1[:, :, None, :] | pb[:, j][:, None, :, :]
-            )                                         # [K, 64a1, 64a2, 2]
-            ov3 = b2[:, :, :, None, :] & pb[:, h][:, None, None, :, :]
+            ov2 = (b1_0[:, :, None] & pb0[:, j][:, None, :]) | (
+                b1_1[:, :, None] & pb1[:, j][:, None, :]
+            )
+            v2 = aok[:, j][:, None, :] & (ov2 == 0)   # [K, a1, a2]
+            b2_0, b2_1 = _clear_lines_words(
+                b1_0[:, :, None] | pb0[:, j][:, None, :],
+                b1_1[:, :, None] | pb1[:, j][:, None, :],
+            )                                         # [K, a1, a2] each
+            ov3 = (b2_0[:, :, :, None] & pb0[:, h][:, None, None, :]) | (
+                b2_1[:, :, :, None] & pb1[:, h][:, None, None, :]
+            )                                         # [K, a1, a2, a3]
             fits3 = jnp.any(
-                aok[:, h][:, None, None, :]
-                & ((ov3[..., 0] | ov3[..., 1]) == 0),
-                axis=3,
-            )                                         # [K, 64a1, 64a2]
+                aok[:, h][:, None, None, :] & (ov3 == 0), axis=3
+            )                                         # [K, a1, a2]
             ok = ok | jnp.any(
                 valid3[:, i][:, :, None] & v2 & fits3, axis=(1, 2)
             )
