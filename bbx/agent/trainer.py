@@ -44,16 +44,19 @@ def _network_from_config(net_cfg: Dict[str, Any]) -> BlockBlastNetwork:
     )
 
 
-def ppo_config_from(config: Dict[str, Any]) -> PPOConfig:
+def ppo_config_from(
+    config: Dict[str, Any], total_timesteps: Optional[int] = None
+) -> PPOConfig:
     ppo = config.get("ppo", {})
     tr = config.get("training", {})
     num_envs = tr.get("num_envs", 64)
     rollout_steps = tr.get("rollout_steps", 128)
     # Linear lr/entropy anneal horizon = the planned number of PPO updates
-    # (schedules are off unless a final_* value is configured).
-    schedule_updates = int(
-        tr.get("total_timesteps", 10_000_000) // (num_envs * rollout_steps)
-    )
+    # (schedules are off unless a final_* value is configured).  The horizon
+    # follows the *effective* run length: a --total-timesteps override must
+    # stretch/shrink the anneal with it, not leave it at the YAML value.
+    effective_total = total_timesteps or tr.get("total_timesteps", 10_000_000)
+    schedule_updates = int(effective_total // (num_envs * rollout_steps))
     return PPOConfig(
         learning_rate=ppo.get("learning_rate", 3e-4),
         gamma=ppo.get("gamma", 0.99),
@@ -86,10 +89,11 @@ class PPOTrainer:
         config: Dict[str, Any],
         seed: int = 42,
         mesh=None,
+        total_timesteps: Optional[int] = None,
     ):
         self.config = config
         self.seed = seed
-        self.ppo = ppo_config_from(config)
+        self.ppo = ppo_config_from(config, total_timesteps)
         self.rewards = reward_config_from(config)
         self.network = _network_from_config(config.get("network", {}))
         self.tx = make_optimizer(self.ppo)
@@ -175,8 +179,8 @@ class PPOTrainer:
     # ---- deterministic on-device evaluation --------------------------------
     def _eval_fn(self, num_episodes: int, chunk: int):
         """Cached jitted evaluator: N parallel episode lanes, greedy policy."""
-        if num_episodes in self._eval_fns:
-            return self._eval_fns[num_episodes]
+        if (num_episodes, chunk) in self._eval_fns:
+            return self._eval_fns[(num_episodes, chunk)]
 
         from ..engine.step import observe, step
         from ..models import distributions as D
@@ -207,7 +211,7 @@ class PPOTrainer:
             return state
 
         fns = (reset_lanes, run_chunk)
-        self._eval_fns[num_episodes] = fns
+        self._eval_fns[(num_episodes, chunk)] = fns
         return fns
 
     def evaluate(self, num_episodes: int = 100, seed: int = 10_000,
@@ -255,11 +259,26 @@ class PPOTrainer:
 
     # ---- checkpointing ---------------------------------------------------
     def _payload(self, extra: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        """Checkpoint payload as host-materializable arrays.
+
+        The env fleet is sharded across hosts, so multi-process saves must
+        allgather it first (`np.asarray` raises on jax.Arrays with
+        non-addressable shards); the train state is fully replicated and
+        converts directly.  This is a COLLECTIVE in multi-process runs —
+        every process must call it (see `save`).
+        """
         import dataclasses
 
         env = {f.name: getattr(self.env_state, f.name)
                for f in dataclasses.fields(self.env_state)}
         env["rng"] = jr.key_data(env["rng"])
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            env = jax.tree.map(
+                lambda x: multihost_utils.process_allgather(x, tiled=True),
+                env,
+            )
         payload = {
             "params": self.train_state.params,
             "batch_stats": self.train_state.batch_stats,
@@ -275,17 +294,30 @@ class PPOTrainer:
 
     def save(self, directory: str, name: str,
              extra: Optional[Dict[str, Any]] = None) -> str:
-        path = save_checkpoint(directory, name, self._payload(extra))
-        # Sidecar with the architecture/hyperparameters so evaluate/play can
-        # rebuild the right network without the training YAML (the reference
-        # stores its config inside the .pt file, `ppo.py:425-439`).
-        import json
+        """Save a checkpoint.  In multi-process runs EVERY process must call
+        this (the env-fleet allgather inside `_payload` is a collective);
+        only the primary touches the filesystem."""
+        import os
 
-        sidecar = {k: self.config[k]
-                   for k in ("network", "ppo", "rewards", "training")
-                   if k in self.config}
-        with open(path + ".config.json", "w") as f:
-            json.dump(sidecar, f, indent=2)
+        from ..parallel.distributed import is_primary
+
+        payload = self._payload(extra)
+        # Orbax's Checkpointer is multihost-aware: EVERY process calls save
+        # (it synchronizes internally and only the primary touches disk), so
+        # there is no save/load race between processes.
+        path = save_checkpoint(directory, name, payload)
+        if is_primary():
+            # Sidecar with the architecture/hyperparameters so evaluate/play
+            # can rebuild the right network without the training YAML (the
+            # reference stores its config inside the .pt file,
+            # `ppo.py:425-439`).
+            import json
+
+            sidecar = {k: self.config[k]
+                       for k in ("network", "ppo", "rewards", "training")
+                       if k in self.config}
+            with open(path + ".config.json", "w") as f:
+                json.dump(sidecar, f, indent=2)
         return path
 
     def load(self, path: str) -> None:
@@ -306,15 +338,32 @@ class PPOTrainer:
             opt_state=opt_state,
             update_step=jnp.asarray(payload["update_step"]),
         )
-        self.train_state = jax.device_put(ts, self._repl_sh)
+        # Placement must mirror __init__: plain device_put fails on shardings
+        # spanning non-addressable devices, so replicated state goes through
+        # _put_replicated and the env fleet is assembled from this host's
+        # contiguous slice of the restored global arrays.
+        self.train_state = self._put_replicated(ts)
         self.global_step = int(payload.get("global_step", 0))
         if "key" in payload:
             self.key = jr.wrap_key_data(jnp.asarray(payload["key"]))
         env = payload.get("env_state")
         if env is not None and env["board"].shape[0] == self.ppo.num_envs:
-            env = {k: jnp.asarray(v) for k, v in env.items()}
-            env["rng"] = jr.wrap_key_data(env["rng"])
-            self.env_state = jax.device_put(EnvState(**env), self._data_sh)
+            if jax.process_count() == 1:
+                env = {k: jnp.asarray(v) for k, v in env.items()}
+                env["rng"] = jr.wrap_key_data(env["rng"])
+                self.env_state = jax.device_put(EnvState(**env), self._data_sh)
+            else:
+                from ..parallel.distributed import host_env_slice
+
+                start, count = host_env_slice(self.ppo.num_envs)
+                env = {
+                    k: jax.make_array_from_process_local_data(
+                        self._data_sh, np.asarray(v)[start:start + count]
+                    )
+                    for k, v in env.items()
+                }
+                env["rng"] = jr.wrap_key_data(env["rng"])
+                self.env_state = EnvState(**env)
         self._loaded_extra = dict(payload.get("extra", {}) or {})
 
     def load_params_only(self, path: str) -> None:
@@ -399,7 +448,7 @@ def train(
     tracker = MetricsTracker(window_size=100)
     timer = PhaseTimer()
 
-    trainer = PPOTrainer(config, seed=seed)
+    trainer = PPOTrainer(config, seed=seed, total_timesteps=total_timesteps)
     if primary:
         print(f"mesh: {trainer.mesh}")
         print(f"envs: {trainer.ppo.num_envs}  rollout: {trainer.ppo.rollout_steps}"
@@ -505,8 +554,11 @@ def train(
                 # Without in-run eval, `best` is gated on the rolling mean of
                 # stochastic rollout scores once the window has substance
                 # (the reference compares a 100-episode rolling mean,
-                # `scripts/train.py:228-232`).
-                if (primary and not eval_interval
+                # `scripts/train.py:228-232`).  Save calls are NOT primary-
+                # gated: the metrics are global, so the gate agrees on every
+                # process, and trainer.save is a collective (env allgather)
+                # that only writes on the primary.
+                if (not eval_interval
                         and row["avg_score"] > best_score and update_idx > 10):
                     best_score = row["avg_score"]
                     trainer.save(ckpt_dir, "best", extra=_extra())
@@ -529,11 +581,11 @@ def train(
                           f"mean {ev['eval_score_mean']:.1f}  "
                           f"max {ev['eval_score_max']:.0f}  "
                           f"len {ev['eval_length_mean']:.1f}")
-                if primary and ev["eval_score_mean"] > best_eval:
+                if ev["eval_score_mean"] > best_eval:
                     best_eval = ev["eval_score_mean"]
                     trainer.save(ckpt_dir, "best", extra=_extra())
 
-            if primary and update_idx % save_interval == 0:
+            if update_idx % save_interval == 0:
                 with timer.phase("checkpoint"):
                     trainer.save(ckpt_dir, f"checkpoint_{trainer.global_step}",
                                  extra=_extra())
@@ -542,8 +594,8 @@ def train(
         if primary:
             print("interrupted — saving final checkpoint")
     finally:
+        trainer.save(ckpt_dir, "final", extra=_extra())
         if primary:
-            trainer.save(ckpt_dir, "final", extra=_extra())
             logger.save_summary()
             tb.close()
             if profile:

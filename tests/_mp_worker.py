@@ -54,6 +54,16 @@ CFG = {
 
 trainer = PPOTrainer(CFG, seed=3)
 m1 = {k: float(v) for k, v in trainer.iterate().items()}
+
+# Multi-process checkpoint round-trip: save is a collective (the env fleet
+# is sharded across hosts and must be allgathered), load re-shards the
+# restored fleet per host.  iter2 after save+load must equal iter2 without.
+import tempfile  # noqa: E402
+
+ckpt_dir = os.environ.get("BBX_MP_CKPT", tempfile.gettempdir())
+trainer.save(ckpt_dir, f"mp_roundtrip_{port}")
+trainer.load(os.path.join(ckpt_dir, f"mp_roundtrip_{port}"))
+
 m2 = {k: float(v) for k, v in trainer.iterate().items()}
 
 if pid == 0:
