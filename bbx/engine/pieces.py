@@ -180,6 +180,29 @@ NO_CONFLICT_BITS: np.ndarray = _pack_bits(
     (~PAIR_CONFLICT) & ANCHOR_OK[None, :, None, :]
 )
 
+# PIECE_SHIFTS[p, o]: bit shift of the o-th cell offset of piece p over the
+# row-major bitboard (cell (dr, dc) -> 8*dr + dc), padded to 9 slots by
+# repeating the first offset (a duplicate OR term is harmless).  Powers the
+# shift-OR valid-anchor kernel: anchor a of piece p overlaps the board iff
+# some piece cell (a + shift) is occupied, so the full 64-anchor validity
+# bitmask is ANCHOR_OK & ~OR_o(board >> shift_o) — <= 9 shift-ORs on two u32
+# words instead of 64 per-anchor AND tests (out-of-bounds anchors would read
+# row-wrapped bits, but ANCHOR_OK zeroes exactly those anchors).
+MAX_PIECE_CELLS = 9
+PIECE_SHIFTS: np.ndarray = np.array(
+    [
+        [
+            BOARD_SIZE * offs[o % len(offs)][0] + offs[o % len(offs)][1]
+            for o in range(MAX_PIECE_CELLS)
+        ]
+        for offs in PIECE_OFFSETS
+    ],
+    dtype=np.int32,
+)
+
+# Bit-packed ANCHOR_OK: [37, 2] uint32.
+ANCHOR_OK_BITS: np.ndarray = _pack_bits(ANCHOR_OK)
+
 
 def piece_mask(index: int, board_size: int = BOARD_SIZE) -> np.ndarray:
     """Render piece `index` at the origin of a board-sized grid."""

@@ -30,12 +30,15 @@ import jax.numpy as jnp
 from .kernel import clear_lines_flat, gather_piece_validity
 from .tables import (
     ANCHOR_OK,
+    ANCHOR_OK_BITS,
     BOARD_SIZE,
     COL_COUNT,
+    MAX_PIECE_CELLS,
     NO_CONFLICT_BF16,
     NO_CONFLICT_BITS,
     NUM_CELLS,
     PAIR_CONFLICT,
+    PIECE_SHIFTS,
     PIECES_PER_TURN,
     PLACE_BITS,
     PLACEMENT,
@@ -116,6 +119,54 @@ def clear_lines_bits(bits: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _shr64(b0: jnp.ndarray, b1: jnp.ndarray, s: jnp.ndarray):
+    """Logical right shift of a 64-bit board held as two u32 words.
+
+    ``s`` (uint32, any shape broadcastable to the words) may range over
+    [0, 63].  Shift amounts are kept strictly below 32 on every lowered op
+    (XLA leaves out-of-range shifts undefined): the carry term uses
+    ``(32 - s) & 31`` and is masked off where s == 0.
+    """
+    big = s >= 32
+    sm = jnp.where(big, s - 32, s)                   # in [0, 31]
+    carry = jnp.where(
+        sm > 0, b1 << ((jnp.uint32(32) - sm) & jnp.uint32(31)), jnp.uint32(0)
+    )
+    r0 = jnp.where(big, b1 >> sm, (b0 >> sm) | carry)
+    r1 = jnp.where(big, jnp.uint32(0), b1 >> sm)
+    return r0, r1
+
+
+def piece_fit_words(b0: jnp.ndarray, b1: jnp.ndarray, piece_id: jnp.ndarray):
+    """Valid-anchor bitmask of one piece per board, by shift-OR dilation.
+
+    Anchor a of piece p collides with the board iff some piece cell
+    (a + shift_o) is occupied, so the full 64-anchor validity bitmask is
+    ``ANCHOR_OK_BITS[p] & ~OR_o(board >> PIECE_SHIFTS[p, o])`` — at most 9
+    shift-ORs on two u32 words instead of 64 per-anchor AND tests against
+    gathered [64, 2] placement tables.  Row-wrapped reads at out-of-bounds
+    anchors are zeroed by ANCHOR_OK.  Same verdict as the reference's
+    per-anchor `can_place` scan (`/root/reference/src/game/board.py:71-93`).
+
+    Args:
+      b0, b1: board words, shape ``piece_id.shape + extra``.
+      piece_id: int32, a prefix of the boards' shape.
+    Returns:
+      (f0, f1) valid-anchor words, same shape as b0/b1.
+    """
+    sh = PIECE_SHIFTS[piece_id]                      # [*pid, 9] u32
+    aok = ANCHOR_OK_BITS[piece_id]                   # [*pid, 2] u32
+    extra = (1,) * (b0.ndim - piece_id.ndim)
+    shape = piece_id.shape + extra
+    m0 = jnp.zeros_like(b0)
+    m1 = jnp.zeros_like(b1)
+    for o in range(MAX_PIECE_CELLS):
+        r0, r1 = _shr64(b0, b1, sh[..., o].reshape(shape))
+        m0 = m0 | r0
+        m1 = m1 | r1
+    return aok[..., 0].reshape(shape) & ~m0, aok[..., 1].reshape(shape) & ~m1
+
+
 def valid3_bits(bits: jnp.ndarray, piece_ids: jnp.ndarray) -> jnp.ndarray:
     """Validity of each drawn piece at every anchor, from bitboards.
 
@@ -126,9 +177,11 @@ def valid3_bits(bits: jnp.ndarray, piece_ids: jnp.ndarray) -> jnp.ndarray:
       [K, 3, 64] bool — equals `gather_piece_validity(valid_anchors_all_
       pieces(board), ids)` on the matching dense board.
     """
-    pb = PLACE_BITS[piece_ids]                        # [K, 3, 64, 2]
-    ov = bits[:, None, None, :] & pb
-    return ANCHOR_OK[piece_ids] & ((ov[..., 0] | ov[..., 1]) == 0)
+    k = piece_ids.shape[0]
+    b0 = jnp.broadcast_to(bits[:, None, 0], (k, PIECES_PER_TURN))
+    b1 = jnp.broadcast_to(bits[:, None, 1], (k, PIECES_PER_TURN))
+    f0, f1 = piece_fit_words(b0, b1, piece_ids)
+    return unpack_cells(jnp.stack([f0, f1], axis=-1))
 
 
 def solvable_disjoint_bits(
@@ -190,11 +243,12 @@ def solvable_clear1_bits(
     r = jnp.take_along_axis(piece_ids, (slot + 2) % 3, axis=1)
 
     b1 = clear_lines_bits(bits[:, None, :] | PLACE_BITS[p, anchor])  # [K,C,2]
-    ov_q = b1[:, :, None, :] & PLACE_BITS[q]          # [K, C, 64, 2]
-    vq = ANCHOR_OK[q] & ((ov_q[..., 0] | ov_q[..., 1]) == 0)
-    ov_r = b1[:, :, None, :] & PLACE_BITS[r]
-    vr = ANCHOR_OK[r] & ((ov_r[..., 0] | ov_r[..., 1]) == 0)
-    t = NO_CONFLICT_BITS[q, r] & pack_cells(vr)[:, :, None, :]  # [K,C,64,2]
+    fq0, fq1 = piece_fit_words(b1[..., 0], b1[..., 1], q)
+    vq = unpack_cells(jnp.stack([fq0, fq1], axis=-1))  # [K, C, 64]
+    vr_bits = jnp.stack(
+        piece_fit_words(b1[..., 0], b1[..., 1], r), axis=-1
+    )                                                  # [K, C, 2] packed
+    t = NO_CONFLICT_BITS[q, r] & vr_bits[:, :, None, :]  # [K, C, 64, 2]
     ok = jnp.any(vq & ((t[..., 0] | t[..., 1]) != 0), axis=2) & live
     return jnp.any(ok, axis=1)
 
@@ -226,13 +280,14 @@ def solvable_exact_bits(
     """Exact solvability by exhaustive bitboard search (all 6 orders, all
     anchor pairs, line clears simulated between placements).
 
-    The bf16 `solvable_exact` needed candidate prediction, top-k selection,
-    and a while-loop to bound its MXU/HBM cost; on bitboards the FULL
-    enumeration is a fused AND/OR-reduce cheap enough at the compacted tier
-    width to run in one pass with no control flow.  The two board words are
-    carried as separate [K, 64, 64] planes (a trailing [2] axis lowers to
-    strided per-word slices on TPU) and the a3 reduction runs over the
-    minor-most axis.  Matches the reference recursion (`engine.py:174-238`).
+    The whole enumeration is a fused elementwise chain over [K, a1, a2]
+    board words: stage-2 validity and the stage-3 "fits anywhere" test both
+    come from the shift-OR valid-anchor kernel (`piece_fit_words`), so no
+    axis beyond (a1, a2) is ever materialized — the former [K, a1, a2, a3]
+    overlap tensor (the round-2 bench's dominant HBM term) is gone.  The
+    two board words are carried as separate planes (a trailing [2] axis
+    lowers to strided per-word slices on TPU).  Matches the reference
+    recursion (`engine.py:174-238`).
 
     Args:
       bits: [K, 2] uint32 boards.
@@ -244,7 +299,6 @@ def solvable_exact_bits(
     k = bits.shape[0]
     pb = PLACE_BITS[piece_ids]                        # [K, 3, 64, 2]
     pb0, pb1 = pb[..., 0], pb[..., 1]                 # [K, 3, 64]
-    aok = ANCHOR_OK[piece_ids]                        # [K, 3, 64]
     ok = jnp.zeros(k, bool)
     for i in range(3):
         # Boards after piece i at every anchor, clears applied.
@@ -255,20 +309,16 @@ def solvable_exact_bits(
             if j == i:
                 continue
             h = 3 - i - j
-            ov2 = (b1_0[:, :, None] & pb0[:, j][:, None, :]) | (
-                b1_1[:, :, None] & pb1[:, j][:, None, :]
-            )
-            v2 = aok[:, j][:, None, :] & (ov2 == 0)   # [K, a1, a2]
+            # Valid anchors of piece j on each stage-1 board, as a bitmask
+            # over a2; unpacked to gate the (a1, a2) reduction.
+            f2_0, f2_1 = piece_fit_words(b1_0, b1_1, piece_ids[:, j])
+            v2 = unpack_cells(jnp.stack([f2_0, f2_1], -1))  # [K, a1, a2]
             b2_0, b2_1 = _clear_lines_words(
                 b1_0[:, :, None] | pb0[:, j][:, None, :],
                 b1_1[:, :, None] | pb1[:, j][:, None, :],
             )                                         # [K, a1, a2] each
-            ov3 = (b2_0[:, :, :, None] & pb0[:, h][:, None, None, :]) | (
-                b2_1[:, :, :, None] & pb1[:, h][:, None, None, :]
-            )                                         # [K, a1, a2, a3]
-            fits3 = jnp.any(
-                aok[:, h][:, None, None, :] & (ov3 == 0), axis=3
-            )                                         # [K, a1, a2]
+            f3_0, f3_1 = piece_fit_words(b2_0, b2_1, piece_ids[:, h])
+            fits3 = (f3_0 | f3_1) != 0                # [K, a1, a2]
             ok = ok | jnp.any(
                 valid3[:, i][:, :, None] & v2 & fits3, axis=(1, 2)
             )

@@ -46,6 +46,9 @@ NO_CONFLICT_BF16 = jnp.asarray(NO_CONFLICT_BF16, dtype=jnp.bfloat16)
 # are two ANDs instead of a 64-cell contraction.
 PLACE_BITS = jnp.asarray(P.PLACE_BITS)                      # [37, 64, 2] u32
 NO_CONFLICT_BITS = jnp.asarray(P.NO_CONFLICT_BITS)          # [37,37,64,2] u32
+PIECE_SHIFTS = jnp.asarray(P.PIECE_SHIFTS, dtype=jnp.uint32)  # [37, 9] u32
+ANCHOR_OK_BITS = jnp.asarray(P.ANCHOR_OK_BITS)              # [37, 2] u32
+MAX_PIECE_CELLS = P.MAX_PIECE_CELLS
 
 # Per-line cell counts of each anchored piece: placing piece p at anchor a on
 # a board it does not overlap completes row r iff
