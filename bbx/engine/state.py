@@ -16,11 +16,8 @@ from flax import struct
 from .kernel import empty_boards
 from .solvability import (
     board_bits,
-    clear_candidates,
-    solvable_clear1_bits,
     solvable_disjoint_bits,
     solvable_exact_bits,
-    unsolvable_certain,
     valid3_bits,
 )
 from .tables import NUM_PIECE_TYPES, PIECES_PER_TURN
@@ -85,35 +82,34 @@ def fresh_pieces(keys: jnp.ndarray) -> jnp.ndarray:
 
 def _verdict_flat(
     fbits: jnp.ndarray,
-    fboard: jnp.ndarray,
     fids: jnp.ndarray,
     fneed: jnp.ndarray,
-    kp: int,
     ke: int,
 ) -> jnp.ndarray:
     """Exact solvability verdict for a flat batch of candidate draws.
 
-    Tiered on bitboards (see `bbx.engine.solvability`): the disjoint fast
-    path runs at full width (accepts ~64% of draws), the clear1-accept /
-    certain-reject screens run over [kp]-slot compacted buffers, and the
-    exhaustive bit search runs over [ke]-slot buffers for the rest.  Every
-    tier is sound, so `fast | screens | exact` equals the reference
-    predicate (`/root/reference/src/game/engine.py:174-238`).
+    Two tiers on bitboards (see `bbx.engine.solvability`): the disjoint fast
+    path runs at full width (accepts ~64% of draws), and the exhaustive
+    shift-OR search runs over [ke]-slot compacted buffers for the rest.
+    Both tiers are sound, so `fast | exact` equals the reference predicate
+    (`/root/reference/src/game/engine.py:174-238`).  The clear1/certain-
+    reject screens that round 2 ran between them cost more than the
+    shift-OR exact search itself (tier_micro2: ~5 ms of screens guarding a
+    ~2 ms exact pass at the same width), so the residual goes straight to
+    the exact tier.
 
     Args:
       fbits: [M, 2] uint32 bitboards.
-      fboard: [M, 8, 8] uint8 (for the row/col-count clear predictions).
       fids: [M, 3] int32 candidate draws.
       fneed: [M] bool — slots holding a real candidate.
-      kp: screen-buffer width (>= typical pending demand).
-      ke: exact-buffer width.
+      ke: exact-buffer width (>= typical residual demand; a demand spike
+        just re-runs the compacted pass).
     Returns:
       [M] bool — solvable, False wherever ~fneed.
     """
-    m = fbits.shape[0]
     v3 = valid3_bits(fbits, fids)
     fast = solvable_disjoint_bits(fbits, fids, v3) & fneed
-    todo_s = fneed & ~fast
+    todo0 = fneed & ~fast
 
     def compact(mask, k):
         cum = jnp.cumsum(mask.astype(jnp.int32))
@@ -123,29 +119,17 @@ def _verdict_flat(
         live = jnp.arange(k) < jnp.minimum(cum[-1], k)
         return idx, live
 
-    def screen_pass(carry):
-        ok, todo_s, todo_e = carry
-        idx, live = compact(todo_s, kp)
-        sb, si, sv = fboard[idx], fids[idx], v3[idx]
-        cand = clear_candidates(sb, si, sv)
-        acc = solvable_clear1_bits(fbits[idx], si, cand) & live
-        rej = unsolvable_certain(sb, si, sv, cand) & live & ~acc
-        ok = ok.at[idx].set(acc | ok[idx])
-        todo_e = todo_e.at[idx].set(live & ~acc & ~rej)
-        todo_s = todo_s.at[idx].set(False)
-        return ok, todo_s, todo_e
-
     def exact_pass(carry):
-        ok, todo_s, todo_e = carry
-        idx, live = compact(todo_e, ke)
+        ok, todo = carry
+        idx, live = compact(todo, ke)
         res = solvable_exact_bits(fbits[idx], fids[idx], v3[idx]) & live
         ok = ok.at[idx].set(res | ok[idx])
-        todo_e = todo_e.at[idx].set(False)
-        return ok, todo_s, todo_e
+        todo = todo.at[idx].set(False)
+        return ok, todo
 
-    carry = (fast, todo_s, jnp.zeros(m, bool))
-    carry = jax.lax.while_loop(lambda c: jnp.any(c[1]), screen_pass, carry)
-    ok, _, _ = jax.lax.while_loop(lambda c: jnp.any(c[2]), exact_pass, carry)
+    ok, _ = jax.lax.while_loop(
+        lambda c: jnp.any(c[1]), exact_pass, (fast, todo0)
+    )
     return ok
 
 
@@ -231,7 +215,7 @@ def regen_pieces(
         live = jnp.arange(k) < jnp.minimum(cum[-1], k)
         return idx, live
 
-    def spec_round(carry, r, s, kp, ke):
+    def spec_round(carry, r, s, ke):
         """One round over a [r]-lane buffer, s attempts per lane.
 
         Gathered lanes draw attempts [j0, j0+s), verdict them all in one
@@ -240,9 +224,9 @@ def regen_pieces(
         attempt cap holds draw #MAX-1, engine.py:170-172) and stay in
         `todo` unless capped.
 
-        Tier buffers (kp/ke) inside the verdict are sized by the caller to
-        measured demand, not to worst case: a demand spike just re-runs
-        the compacted pass.
+        The exact-tier buffer (ke) inside the verdict is sized by the
+        caller to measured demand, not to worst case: a demand spike just
+        re-runs the compacted pass.
         """
         ids, todo, attempts = carry
         idx, live = compact(todo, r)
@@ -250,14 +234,13 @@ def regen_pieces(
         draws = _event_draws(ekey[idx], j0, s)           # [r, s, 3]
         allowed = (j0[:, None] + jnp.arange(s)) < MAX_REGEN_ATTEMPTS
         if s == 1:
-            fbits, fb = bits[idx], board[idx]
+            fbits = bits[idx]
         else:
             fbits = jnp.repeat(bits[idx], s, axis=0)
-            fb = jnp.repeat(board[idx], s, axis=0)
         fneed = jnp.repeat(live, s) & allowed.reshape(-1)
         m = r * s
         ok = _verdict_flat(
-            fbits, fb, draws.reshape(m, PIECES_PER_TURN), fneed, kp=kp, ke=ke,
+            fbits, draws.reshape(m, PIECES_PER_TURN), fneed, ke=ke,
         ).reshape(r, s)
         any_ok = jnp.any(ok, axis=1)
         first = jnp.argmax(ok, axis=1)
@@ -276,31 +259,29 @@ def regen_pieces(
     # (sum(need) > r1, e.g. lockstep regen bursts right after a fleet
     # reset), the main loop runs again for the unserved cohort — per-lane
     # attempt counters keep mixed cohorts correct.  Measured tier demand
-    # under random play: 36% of draws miss the disjoint fast path, ~10% of
-    # those reach the exact search.
+    # under random play: ~36% of draws miss the disjoint fast path and go
+    # to the exact tier, so its buffer gets 3/8 of the round width.
     r1 = n if n <= 32 else max(32, n // 2)
-    kp1 = max(32, (3 * r1) // 10)
-    ke1 = max(32, r1 // 16)
+    ke1 = max(32, (3 * r1) // 8)
 
     carry = (piece_ids, need, jnp.zeros(n, jnp.int32))
-    carry = spec_round(carry, r1, 1, kp1, ke1)
+    carry = spec_round(carry, r1, 1, ke1)
     carry = jax.lax.while_loop(
         lambda c: jnp.any(c[1] & (c[2] == 0)),
-        lambda c: spec_round(c, r1, 1, kp1, ke1),
+        lambda c: spec_round(c, r1, 1, ke1),
         carry,
     )
     # Tail: lanes whose first draw failed (~18% of needy, concentrated on
     # hard boards with correlated low acceptance — the worst lane needs
     # ~20 draws) burn _TAIL_DRAWS speculative attempts per round.  Width
     # scales with the fleet so the first tail wave is served in one round;
-    # hard boards fail the disjoint tier more often, so tier buffers are
-    # proportionally larger here.
+    # hard boards fail the disjoint tier more often, so the exact buffer
+    # is proportionally larger here.
     rt = n if n <= 64 else max(64, n // 16)
     mt = rt * _TAIL_DRAWS
     ids, _, _ = jax.lax.while_loop(
         lambda c: jnp.any(c[1]),
-        lambda c: spec_round(c, rt, _TAIL_DRAWS,
-                             max(32, mt // 2), max(32, mt // 8)),
+        lambda c: spec_round(c, rt, _TAIL_DRAWS, max(32, mt // 2)),
         carry,
     )
     return ids, rng

@@ -53,14 +53,15 @@ def bench_chunk(name, regen_impl):
         St.regen_pieces = orig
 
 
-def regen_none(board, all_valid, ids, rng, need):
+def regen_none(board, ids, rng, need):
     split = jax.vmap(lambda k: jr.split(k, 2))(rng)
     new_rng = jnp.where(need, split[:, 0], rng)
     draw = _draw(split[:, 1])
     return jnp.where(need[:, None], draw, ids), new_rng
 
 
-def regen_disjoint_only(board, all_valid, ids, rng, need):
+def regen_disjoint_only(board, ids, rng, need):
+    all_valid = K.valid_anchors_all_pieces(board)
     def cond(c):
         att, _i, acc, _r = c
         return (att < 100) & jnp.any(~acc)
