@@ -375,16 +375,47 @@ class PPOTrainer:
 
 
 def _iteration_flops(trainer: "PPOTrainer") -> Optional[float]:
-    """XLA-reported FLOPs of one jitted train iteration (for MFU)."""
+    """Analytic FLOPs of one train iteration (for MFU).
+
+    XLA's `cost_analysis()` counts a `lax.scan` body ONCE regardless of
+    trip count, so lowering the whole jitted iteration undercounts the
+    scanned rollout (x rollout_steps) and minibatch-update (x epochs *
+    minibatches) loops by ~80x at production shapes.  Instead, lower the
+    un-scanned network forward at the rollout batch and the minibatch
+    grad step, then scale each by its trip count.  The env-step / GAE /
+    optimizer FLOPs outside the network are negligible (<1%).
+    """
     try:
-        key = jr.key(0)
-        lowered = trainer._train_iter.lower(
-            trainer.train_state, trainer.env_state, key
-        )
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0)) or None
+        from .ppo import _apply
+
+        cfg, net, ts = trainer.ppo, trainer.network, trainer.train_state
+
+        def obs_of(b):
+            return {
+                "board": jnp.zeros((b, 8, 8), jnp.float32),
+                "pieces": jnp.zeros((b, 3, 8, 8), jnp.float32),
+                "action_mask": jnp.ones((b, 192), bool),
+            }
+
+        def fwd(params, obs):
+            logits, value, _ = _apply(
+                net, params, ts.batch_stats, obs, train=True,
+                dropout_key=jr.key(0), mutable=bool(ts.batch_stats),
+            )
+            return jnp.sum(logits.astype(jnp.float32)) + jnp.sum(value)
+
+        def count(fn, *args):
+            cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0))
+
+        f_roll = count(fwd, ts.params, obs_of(cfg.num_envs))
+        f_upd = count(jax.grad(fwd), ts.params, obs_of(cfg.minibatch_size))
+        num_mb = cfg.batch_size // cfg.minibatch_size
+        total = (f_roll * cfg.rollout_steps
+                 + f_upd * cfg.num_epochs * num_mb)
+        return total or None
     except Exception:
         return None
 
@@ -480,12 +511,16 @@ def train(
     peak_flops = _device_peak_flops() if profile else None
 
     def _extra():
-        return {
-            "best_score": best_score,
-            "best_eval": best_eval,
-            "tracker_scores": np.asarray(tracker.values("score"), np.float64),
-            "tracker_lengths": np.asarray(tracker.values("length"), np.float64),
-        }
+        out = {"best_score": best_score, "best_eval": best_eval}
+        scores = np.asarray(tracker.values("score"), np.float64)
+        lengths = np.asarray(tracker.values("length"), np.float64)
+        # Orbax refuses zero-size arrays; omit the windows until the first
+        # episode completes (the resume path tolerates the missing keys).
+        if scores.size:
+            out["tracker_scores"] = scores
+        if lengths.size:
+            out["tracker_lengths"] = lengths
+        return out
 
     update_idx = 0
     t_start = time.time()
@@ -585,7 +620,7 @@ def train(
                     best_eval = ev["eval_score_mean"]
                     trainer.save(ckpt_dir, "best", extra=_extra())
 
-            if update_idx % save_interval == 0:
+            if save_interval and update_idx % save_interval == 0:
                 with timer.phase("checkpoint"):
                     trainer.save(ckpt_dir, f"checkpoint_{trainer.global_step}",
                                  extra=_extra())
