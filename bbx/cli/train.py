@@ -27,10 +27,15 @@ def main(argv=None) -> int:
         total_timesteps=args.total_timesteps,
         profile=args.profile,
     )
+    # With in-run eval enabled, `best` is gated on eval score and the
+    # rollout-mean best stays -inf; report whichever gate was active.
+    if stats["best_eval"] > float("-inf"):
+        best = f"best eval score {stats['best_eval']:.1f}"
+    else:
+        best = f"best avg score {stats['best_score']:.1f}"
     print(f"done: {stats['global_step']:,} steps in "
           f"{stats['elapsed_sec']:.1f}s "
-          f"({stats['steps_per_sec']:.0f} steps/s), "
-          f"best avg score {stats['best_score']:.1f}")
+          f"({stats['steps_per_sec']:.0f} steps/s), {best}")
     return 0
 
 
