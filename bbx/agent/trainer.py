@@ -176,11 +176,15 @@ class PPOTrainer:
         from ..engine.state import EnvState
         return EnvState(**global_leaves)
 
-    # ---- deterministic on-device evaluation --------------------------------
-    def _eval_fn(self, num_episodes: int, chunk: int):
-        """Cached jitted evaluator: N parallel episode lanes, greedy policy."""
-        if (num_episodes, chunk) in self._eval_fns:
-            return self._eval_fns[(num_episodes, chunk)]
+    # ---- on-device evaluation ---------------------------------------------
+    def _eval_fn(self, chunk: int, stochastic: bool):
+        """Cached jitted evaluator: N parallel episode lanes.
+
+        Greedy (argmax) by default; `stochastic=True` samples from the
+        masked categorical, matching how the reference's rolling training
+        mean collects its episodes (`scripts/train.py:228-232`)."""
+        if (chunk, stochastic) in self._eval_fns:
+            return self._eval_fns[(chunk, stochastic)]
 
         from ..engine.step import observe, step
         from ..models import distributions as D
@@ -192,54 +196,73 @@ class PPOTrainer:
             return engine_reset(keys)
 
         @jax.jit
-        def run_chunk(params, batch_stats, state):
+        def run_chunk(params, batch_stats, state, key):
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
 
-            def body(state, _):
+            def body(carry, _):
+                state, key = carry
                 obs = observe(state)
                 logits, _ = network.apply(
                     variables, obs["board"], obs["pieces"],
                     obs["action_mask"], train=False,
                 )
-                out = step(state, D.mode(logits), self.rewards,
-                           auto_reset=False)
-                return out.state, None
+                if stochastic:
+                    key, k = jr.split(key)
+                    actions = D.sample(k, logits)
+                else:
+                    actions = D.mode(logits)
+                out = step(state, actions, self.rewards, auto_reset=False)
+                return (out.state, key), None
 
-            state, _ = jax.lax.scan(body, state, None, length=chunk)
+            (state, _), _ = jax.lax.scan(
+                body, (state, key), None, length=chunk
+            )
             return state
 
         fns = (reset_lanes, run_chunk)
-        self._eval_fns[(num_episodes, chunk)] = fns
+        self._eval_fns[(chunk, stochastic)] = fns
         return fns
 
     def evaluate(self, num_episodes: int = 100, seed: int = 10_000,
-                 max_steps: int = 8192, chunk: int = 128) -> Dict[str, float]:
-        """Deterministic (greedy) evaluation of the current policy.
+                 max_steps: int = 8192, chunk: int = 128,
+                 stochastic: bool = False) -> Dict[str, float]:
+        """Evaluate the current policy (greedy by default).
 
         The reference's eval loops episodes sequentially on the host
         (`scripts/evaluate.py:23-90`); here every episode is a parallel
-        device lane stepped until all lanes terminate.
+        device lane stepped until all lanes terminate.  Aggregates are
+        computed over COMPLETED episodes only — lanes still alive at
+        `max_steps` are reported in `eval_truncated`, not silently mixed
+        into the mean (their scores are a lower bound, which would bias the
+        mean down exactly when the policy survives long).
         """
-        reset_lanes, run_chunk = self._eval_fn(num_episodes, chunk)
+        reset_lanes, run_chunk = self._eval_fn(chunk, stochastic)
         state = reset_lanes(make_env_keys(seed, num_episodes))
+        key = jr.key(seed + 1)
         steps = 0
         while steps < max_steps:
+            key, k = jr.split(key)
             state = run_chunk(
-                self.train_state.params, self.train_state.batch_stats, state
+                self.train_state.params, self.train_state.batch_stats,
+                state, k,
             )
             steps += chunk
             done = np.asarray(state.done)
             if done.all():
                 break
+        done = np.asarray(state.done)
         scores = np.asarray(state.score, np.float64)
+        moves = np.asarray(state.moves, np.float64)
+        sel = done if done.any() else np.ones_like(done)
         return {
-            "eval_score_mean": float(scores.mean()),
+            "eval_score_mean": float(scores[sel].mean()),
             "eval_score_max": float(scores.max()),
-            "eval_score_median": float(np.median(scores)),
-            "eval_length_mean": float(np.asarray(state.moves).mean()),
-            "eval_completed": float(np.asarray(state.done).sum()),
+            "eval_score_median": float(np.median(scores[sel])),
+            "eval_length_mean": float(moves[sel].mean()),
+            "eval_completed": float(done.sum()),
+            "eval_truncated": float((~done).sum()),
         }
 
     @property
@@ -397,12 +420,15 @@ def _iteration_flops(trainer: "PPOTrainer") -> Optional[float]:
                 "action_mask": jnp.ones((b, 192), bool),
             }
 
-        def fwd(params, obs):
-            logits, value, _ = _apply(
-                net, params, ts.batch_stats, obs, train=True,
-                dropout_key=jr.key(0), mutable=bool(ts.batch_stats),
-            )
-            return jnp.sum(logits.astype(jnp.float32)) + jnp.sum(value)
+        def make_fwd(train):
+            def fwd(params, obs):
+                logits, value, _ = _apply(
+                    net, params, ts.batch_stats, obs, train=train,
+                    dropout_key=jr.key(0),
+                    mutable=train and bool(ts.batch_stats),
+                )
+                return jnp.sum(logits.astype(jnp.float32)) + jnp.sum(value)
+            return fwd
 
         def count(fn, *args):
             cost = jax.jit(fn).lower(*args).compile().cost_analysis()
@@ -410,8 +436,10 @@ def _iteration_flops(trainer: "PPOTrainer") -> Optional[float]:
                 cost = cost[0]
             return float(cost.get("flops", 0.0))
 
-        f_roll = count(fwd, ts.params, obs_of(cfg.num_envs))
-        f_upd = count(jax.grad(fwd), ts.params, obs_of(cfg.minibatch_size))
+        f_roll = count(make_fwd(cfg.rollout_train_mode),
+                       ts.params, obs_of(cfg.num_envs))
+        f_upd = count(jax.grad(make_fwd(True)),
+                      ts.params, obs_of(cfg.minibatch_size))
         num_mb = cfg.batch_size // cfg.minibatch_size
         total = (f_roll * cfg.rollout_steps
                  + f_upd * cfg.num_epochs * num_mb)
@@ -441,7 +469,7 @@ def _device_peak_flops() -> Optional[float]:
 def train(
     config: Dict[str, Any],
     resume_path: Optional[str] = None,
-    seed: int = 42,
+    seed: Optional[int] = None,
     progress_callback: Optional[Callable[[Dict[str, Any]], bool]] = None,
     total_timesteps: Optional[int] = None,
     profile: bool = False,
@@ -449,22 +477,43 @@ def train(
     """The canonical training entry point (`scripts/train.py:61-312`).
 
     Returns final stats.  `progress_callback(metrics) -> bool` mirrors the
-    reference's GUI hook: return False to stop training.
+    reference's GUI hook: return False to stop training.  `seed=None`
+    defaults to `training.seed` from the config (42 if absent); an explicit
+    argument (the CLI flag) wins over the config.
 
     Beyond the reference: optional deterministic eval every
     `logging.eval_interval` updates (gates the `best` checkpoint on eval
     score instead of the stochastic rollout mean), a wall-clock budget
     (`training.max_hours`), exact resume (env fleet + best + tracker
-    restored from the checkpoint), and `profile=True` for per-phase timing,
-    an MFU estimate, and a one-off `jax.profiler` trace dump.
+    restored from the checkpoint), preemption-signal checkpointing
+    (SIGTERM triggers a clean save of `final` + `latest`, SURVEY.md §5),
+    and `profile=True` for per-phase timing, an MFU estimate, and a one-off
+    `jax.profiler` trace dump.
     """
     import os
+    import signal
+    import threading
 
     tr_cfg = config.get("training", {})
     log_cfg = config.get("logging", {})
     paths = config.get("paths", {})
+    if seed is None:
+        seed = tr_cfg.get("seed", 42)
     total_timesteps = total_timesteps or tr_cfg.get("total_timesteps", 10_000_000)
     max_hours = tr_cfg.get("max_hours")
+
+    # Preemption handling: a SIGTERM (the TPU-pod preemption signal) stops
+    # the loop at the next iteration boundary; the finally block then saves
+    # a full-state checkpoint, so (train, SIGTERM, resume) == continuous.
+    preempted = threading.Event()
+    prev_sigterm = None
+    if threading.current_thread() is threading.main_thread():
+        try:
+            prev_sigterm = signal.signal(
+                signal.SIGTERM, lambda *_: preempted.set()
+            )
+        except ValueError:
+            prev_sigterm = None
 
     ckpt_dir = paths.get("checkpoint_dir", "checkpoints")
     log_dir = paths.get("log_dir", "logs")
@@ -554,6 +603,11 @@ def train(
                     print(f"wall-clock budget ({max_hours}h) reached — stopping")
                 stop = True
 
+            if preempted.is_set():
+                if primary:
+                    print("SIGTERM received — checkpointing and stopping")
+                stop = True
+
             if update_idx % log_interval == 0 or stop:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 now = time.time()
@@ -578,7 +632,10 @@ def train(
                     "invalid_frac": metrics["invalid_frac"],
                 }
                 if flops_per_iter and peak_flops:
-                    row["mfu"] = flops_per_iter / sec_per_iter / peak_flops
+                    # flops_per_iter counts the GLOBAL batch; peak is per
+                    # chip, so normalize by the mesh's device count.
+                    row["mfu"] = (flops_per_iter / sec_per_iter
+                                  / (peak_flops * jax.device_count()))
                 logger.log(row, step=trainer.global_step)
                 for k, v in row.items():
                     tag = ("performance/" if k in
@@ -630,6 +687,12 @@ def train(
             print("interrupted — saving final checkpoint")
     finally:
         trainer.save(ckpt_dir, "final", extra=_extra())
+        if preempted.is_set():
+            # Preemption path: also refresh `latest` so the standard
+            # resume-from-latest workflow picks up the preempted state.
+            trainer.save(ckpt_dir, "latest", extra=_extra())
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
         if primary:
             logger.save_summary()
             tb.close()

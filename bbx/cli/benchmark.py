@@ -18,7 +18,8 @@ import jax.random as jr
 import numpy as np
 
 
-def bench_engine(num_envs: int = 1024, steps: int = 512) -> dict:
+def bench_engine(num_envs: int = 1024, steps: int = 512,
+                 iters: int = 4) -> dict:
     """On-device engine stepping, random valid actions
     (`benchmark.py:17-55`'s moves/s, but batched)."""
     from ..engine.state import make_env_keys, reset
@@ -40,7 +41,6 @@ def bench_engine(num_envs: int = 1024, steps: int = 512) -> dict:
     state = run(state, key)
     jax.block_until_ready(state)
     t0 = time.perf_counter()
-    iters = 4
     for i in range(iters):
         key, k = jr.split(key)
         state = run(state, k)
@@ -75,7 +75,7 @@ def bench_single_env(steps: int = 2000) -> dict:
 
 def bench_vec_env(num_envs: int = 4096, steps: int = 64, iters: int = 10) -> dict:
     """Vectorized on-device stepping (`benchmark.py:101-144`)."""
-    r = bench_engine(num_envs=num_envs, steps=steps)
+    r = bench_engine(num_envs=num_envs, steps=steps, iters=iters)
     r["name"] = "vec_env"
     return r
 

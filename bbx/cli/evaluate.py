@@ -64,16 +64,23 @@ def evaluate_policy(
         if done.all():
             break
 
-    scores = np.asarray(state.score, np.float64)
-    lengths = np.asarray(state.moves, np.float64)
-    lines = np.asarray(state.lines_total, np.float64)
-    combos = np.asarray(state.max_streak, np.float64)
+    # Aggregate over COMPLETED episodes only: a lane still alive at
+    # max_steps holds a lower bound on its final score, which would bias
+    # the mean down exactly when the policy survives long.  Truncated lanes
+    # are counted separately instead of silently mixed in.
+    done = np.asarray(state.done)
+    sel = done if done.any() else np.ones_like(done)
+    scores = np.asarray(state.score, np.float64)[sel]
+    lengths = np.asarray(state.moves, np.float64)[sel]
+    lines = np.asarray(state.lines_total, np.float64)[sel]
+    combos = np.asarray(state.max_streak, np.float64)[sel]
     pct = {f"p{p}": float(np.percentile(scores, p))
            for p in (10, 25, 50, 75, 90, 95, 99)}
     return {
         "num_episodes": num_episodes,
         "deterministic": deterministic,
-        "completed": int(np.asarray(state.done).sum()),
+        "completed": int(done.sum()),
+        "truncated": int((~done).sum()),
         "score_mean": float(scores.mean()),
         "score_std": float(scores.std()),
         "score_min": float(scores.min()),

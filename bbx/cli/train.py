@@ -8,7 +8,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Train the Block Blast PPO agent")
     ap.add_argument("--config", default="config/default.yaml")
     ap.add_argument("--resume", default=None, help="checkpoint to resume from")
-    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="overrides training.seed from the config (default 42)")
     ap.add_argument("--total-timesteps", type=int, default=None)
     ap.add_argument("--profile", action="store_true",
                     help="per-phase timing, MFU estimate, one trace dump")

@@ -13,7 +13,6 @@ program.  Semantics mirror the reference NumPy `Board`
 """
 from __future__ import annotations
 
-import os
 
 import jax
 import jax.numpy as jnp
@@ -33,10 +32,6 @@ def empty_boards(n: int) -> jnp.ndarray:
     return jnp.zeros((n, BOARD_SIZE, BOARD_SIZE), dtype=jnp.uint8)
 
 
-# Opt-in Pallas path for the validity kernel (TPU; batch % 256 == 0).
-_USE_PALLAS = os.environ.get("BBX_PALLAS", "0") == "1"
-
-
 def valid_anchors_all_pieces(board: jnp.ndarray) -> jnp.ndarray:
     """Validity of every (piece, anchor) pair on every board.
 
@@ -47,14 +42,13 @@ def valid_anchors_all_pieces(board: jnp.ndarray) -> jnp.ndarray:
 
     This is the TPU replacement for the reference's nested per-cell scans
     (`engine.py:364-380`): a single [N,64] x [64, 37*64] bf16 matmul counts
-    overlapping cells for all 2368 (piece, anchor) pairs at once.  With
-    BBX_PALLAS=1 and a tile-aligned batch, the fused Pallas kernel
-    (`bbx.ops.mask_kernel`) is used instead.
+    overlapping cells for all 2368 (piece, anchor) pairs at once.  (The
+    production step/observe path derives masks for just the three drawn
+    pieces from bitboards — `bbx.engine.solvability.valid3_bits`; this
+    all-pieces form serves the 37-piece GUI/analysis surface and the
+    differential tests.)
     """
     n = board.shape[0]
-    if _USE_PALLAS and n % 256 == 0:
-        from ..ops.mask_kernel import valid_anchors_all_pieces_pallas
-        return valid_anchors_all_pieces_pallas(board)
     flat = board.reshape(n, NUM_CELLS).astype(jnp.bfloat16)
     overlap = jax.lax.dot_general(
         flat,

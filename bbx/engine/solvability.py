@@ -9,30 +9,28 @@ fixed-shape tensor algebra:
 1.  **Fast path — disjoint placements (sufficient).**  If the three pieces
     admit pairwise non-overlapping valid placements on the current board,
     then any placement order succeeds: line clears only *empty* cells, so a
-    placement that was valid on the original board stays valid.  Existence is
-    decided with the precomputed pairwise-conflict tensor and two 64x64
-    matmuls per board — no board simulation at all.
+    placement that was valid on the original board stays valid
+    (`solvable_disjoint_bits`).
 
-2.  **Full path — exhaustive search with simulated clears (exact).**  Only
-    when the fast path fails for some board (rare: it requires a clear to
-    unlock space) do we run the exact bounded search: every first-piece
-    anchor, clears, every second-piece anchor, clears, any third-piece
-    anchor.  It is gated behind a batch-level `lax.cond`, so the common case
-    never pays for it.
+2.  **Exact path — exhaustive bitboard search with simulated clears**
+    (`solvable_exact_bits`): every ordered pair of first/second anchors
+    with clears applied between placements, third piece fits-anywhere.
+    Runs over demand-compacted buffers (see `bbx.engine.state`).
 
-`fast OR full` is exactly the reference predicate.
+`fast OR exact` is exactly the reference predicate.  The dense (unpacked)
+formulations `solvable_disjoint` and `solvable_full` are kept as
+differential-test oracles for the bitboard kernels; they are not on the
+production path.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-from .kernel import clear_lines_flat, gather_piece_validity
+from .kernel import clear_lines_flat
 from .tables import (
     ANCHOR_OK,
     ANCHOR_OK_BITS,
-    BOARD_SIZE,
-    COL_COUNT,
     MAX_PIECE_CELLS,
     NO_CONFLICT_BF16,
     NO_CONFLICT_BITS,
@@ -43,15 +41,10 @@ from .tables import (
     PLACE_BITS,
     PLACEMENT,
     PLACEMENT_BF16,
-    ROW_COUNT,
 )
 
 _F32 = jnp.float32
 _BF16 = jnp.bfloat16
-
-GATHER_LANES = 128  # failing lanes resolved per full-search pass
-SCREEN_LANES = 512  # lanes screened per compacted pass
-CLEAR1_COMBOS = 8   # clearing placements tried per lane in the accept screen
 
 
 # ---------------------------------------------------------------------------
@@ -218,41 +211,6 @@ def solvable_disjoint_bits(
     return jnp.any(valid3[:, 0] & hit, axis=1)
 
 
-def solvable_clear1_bits(
-    bits: jnp.ndarray, piece_ids: jnp.ndarray, cand: jnp.ndarray
-) -> jnp.ndarray:
-    """Bitboard form of `solvable_clear1` (same sufficient screen).
-
-    Args:
-      bits: [K, 2] uint32 boards.
-      piece_ids: [K, 3] int32.
-      cand: [K, 3, 64] bool from `clear_candidates`.
-    Returns:
-      [K] bool — True implies solvable.
-    """
-    k = bits.shape[0]
-    score, sel = jax.lax.top_k(
-        cand.reshape(k, PIECES_PER_TURN * NUM_CELLS).astype(_F32),
-        CLEAR1_COMBOS,
-    )
-    live = score > 0.5                                # [K, C]
-    slot = sel // NUM_CELLS
-    anchor = sel % NUM_CELLS
-    p = jnp.take_along_axis(piece_ids, slot, axis=1)
-    q = jnp.take_along_axis(piece_ids, (slot + 1) % 3, axis=1)
-    r = jnp.take_along_axis(piece_ids, (slot + 2) % 3, axis=1)
-
-    b1 = clear_lines_bits(bits[:, None, :] | PLACE_BITS[p, anchor])  # [K,C,2]
-    fq0, fq1 = piece_fit_words(b1[..., 0], b1[..., 1], q)
-    vq = unpack_cells(jnp.stack([fq0, fq1], axis=-1))  # [K, C, 64]
-    vr_bits = jnp.stack(
-        piece_fit_words(b1[..., 0], b1[..., 1], r), axis=-1
-    )                                                  # [K, C, 2] packed
-    t = NO_CONFLICT_BITS[q, r] & vr_bits[:, :, None, :]  # [K, C, 64, 2]
-    ok = jnp.any(vq & ((t[..., 0] | t[..., 1]) != 0), axis=2) & live
-    return jnp.any(ok, axis=1)
-
-
 def _clear_lines_words(b0: jnp.ndarray, b1: jnp.ndarray):
     """`clear_lines_bits` on the two board words as separate arrays (any
     matching shape) — avoids a trailing [2] axis, which lowers to strided
@@ -355,141 +313,6 @@ def solvable_disjoint(valid3: jnp.ndarray, piece_ids: jnp.ndarray) -> jnp.ndarra
     )  # batched [N, 64, 64]
     ok = (t > 0.5) & v2[:, None, :] & ~c02
     return jnp.any(ok, axis=(1, 2))
-
-
-def clear_candidates(
-    board: jnp.ndarray, piece_ids: jnp.ndarray, valid3: jnp.ndarray
-) -> jnp.ndarray:
-    """Valid placements of each drawn piece that complete >= 1 line.
-
-    Pure clear *prediction* from per-line cell counts — no placement is
-    simulated (`rowsum[r] + ROW_COUNT[p, a, r] == 8` iff placing p@a fills
-    row r; placements are disjoint from the board wherever `valid3`).
-
-    Args:
-      board: [N, 8, 8] uint8.
-      piece_ids: [N, 3] int32.
-      valid3: [N, 3, 64] bool.
-    Returns:
-      [N, 3, 64] bool.
-    """
-    rowsum = jnp.sum(board.astype(jnp.int32), axis=2)  # [N, 8]
-    colsum = jnp.sum(board.astype(jnp.int32), axis=1)  # [N, 8]
-    rc = ROW_COUNT[piece_ids]  # [N, 3, 64, 8]
-    cc = COL_COUNT[piece_ids]
-    clears = jnp.any(
-        rowsum[:, None, None, :] + rc == BOARD_SIZE, axis=-1
-    ) | jnp.any(colsum[:, None, None, :] + cc == BOARD_SIZE, axis=-1)
-    return valid3 & clears
-
-
-def solvable_clear1(
-    board: jnp.ndarray,
-    piece_ids: jnp.ndarray,
-    cand: jnp.ndarray,
-) -> jnp.ndarray:
-    """Sufficient accept screen: one clearing placement unlocks the rest.
-
-    If some piece has a valid line-completing placement and the remaining two
-    pieces admit pairwise-disjoint valid placements on the *cleared* board,
-    the triple is solvable (disjoint placements survive intermediate clears —
-    clears only empty cells).  Up to `CLEAR1_COMBOS` clearing placements per
-    lane are tried (a screen may miss; the exact search catches the rest).
-
-    Args:
-      board: [N, 8, 8] uint8.
-      piece_ids: [N, 3] int32.
-      cand: [N, 3, 64] bool from `clear_candidates`.
-    Returns:
-      [N] bool — True implies solvable.
-    """
-    n = board.shape[0]
-    flat = board.reshape(n, NUM_CELLS).astype(jnp.uint8)
-    score, sel = jax.lax.top_k(
-        cand.reshape(n, PIECES_PER_TURN * NUM_CELLS).astype(_F32),
-        CLEAR1_COMBOS,
-    )
-    live = score > 0.5                      # [N, C]
-    slot = sel // NUM_CELLS                 # [N, C]
-    anchor = sel % NUM_CELLS
-    p = jnp.take_along_axis(piece_ids, slot, axis=1)            # [N, C]
-    q = jnp.take_along_axis(piece_ids, (slot + 1) % 3, axis=1)  # [N, C]
-    r = jnp.take_along_axis(piece_ids, (slot + 2) % 3, axis=1)
-
-    occ1 = PLACEMENT[p, anchor]  # [N, C, 64] bool
-    b1 = clear_lines_flat(flat[:, None, :] | occ1.astype(jnp.uint8))
-    b1f = b1.astype(_BF16)       # [N, C, 64]
-
-    occ_q = PLACEMENT_BF16[q]    # [N, C, 64, 64]
-    occ_r = PLACEMENT_BF16[r]
-    # overlap[n, c, a] = sum_cell occ[n, c, a, cell] * b1[n, c, cell]
-    dn = (((3,), (2,)), ((0, 1), (0, 1)))
-    ov_q = jax.lax.dot_general(occ_q, b1f, dn, preferred_element_type=_F32)
-    ov_r = jax.lax.dot_general(occ_r, b1f, dn, preferred_element_type=_F32)
-    vq = ANCHOR_OK[q] & (ov_q < 0.5)  # [N, C, 64]
-    vr = ANCHOR_OK[r] & (ov_r < 0.5)
-
-    nc = NO_CONFLICT_BF16[q, r]       # [N, C, 64, 64]
-    # t[n, c, a2] = sum_a3 nc[n, c, a2, a3] * vr[n, c, a3]
-    t = jax.lax.dot_general(
-        nc, vr.astype(_BF16), dn, preferred_element_type=_F32
-    )
-    ok = jnp.any(vq & (t > 0.5), axis=2) & live  # [N, C]
-    return jnp.any(ok, axis=1)
-
-
-def unsolvable_certain(
-    board: jnp.ndarray,
-    piece_ids: jnp.ndarray,
-    valid3: jnp.ndarray,
-    cand: jnp.ndarray,
-) -> jnp.ndarray:
-    """Certain-reject screen for lanes that already failed the disjoint check.
-
-    Any solution order's *first* line clear happens at stage 1, stage 2, or
-    never.  "Never" means three pairwise-disjoint placements on the original
-    board (already ruled out by the caller).  Stage 1 requires a valid
-    clearing placement of a single piece; stage 2 requires a disjoint valid
-    pair whose union completes a line.  If neither exists the triple is
-    provably unsolvable — no search needed.
-
-    Args:
-      board: [N, 8, 8] uint8.
-      piece_ids: [N, 3] int32.
-      valid3: [N, 3, 64] bool.
-      cand: [N, 3, 64] bool from `clear_candidates`.
-    Returns:
-      [N] bool — True implies NOT solvable (given no disjoint triple).
-    """
-    any_clear1 = jnp.any(cand, axis=(1, 2))
-    rowsum = jnp.sum(board.astype(jnp.int32), axis=2)
-    colsum = jnp.sum(board.astype(jnp.int32), axis=1)
-    rc = ROW_COUNT[piece_ids]  # [N, 3, 64, 8]
-    cc = COL_COUNT[piece_ids]
-
-    pair_clear = jnp.zeros(board.shape[0], bool)
-    for i, j in ((0, 1), (0, 2), (1, 2)):
-        pi, pj = piece_ids[:, i], piece_ids[:, j]
-        # union of (i@a, j@b) completes a row/col (both disjoint from board
-        # and from each other wherever the validity/conflict masks hold).
-        row_u = jnp.any(
-            rowsum[:, None, None, :] + rc[:, i][:, :, None, :]
-            + rc[:, j][:, None, :, :] == BOARD_SIZE,
-            axis=-1,
-        )  # [N, 64, 64]
-        col_u = jnp.any(
-            colsum[:, None, None, :] + cc[:, i][:, :, None, :]
-            + cc[:, j][:, None, :, :] == BOARD_SIZE,
-            axis=-1,
-        )
-        ok_pair = (
-            valid3[:, i][:, :, None]
-            & valid3[:, j][:, None, :]
-            & ~PAIR_CONFLICT[pi, pj]
-            & (row_u | col_u)
-        )
-        pair_clear = pair_clear | jnp.any(ok_pair, axis=(1, 2))
-    return ~any_clear1 & ~pair_clear
 
 
 def _valid_on_flat(flat_bf16: jnp.ndarray, piece_id: jnp.ndarray) -> jnp.ndarray:
@@ -602,381 +425,3 @@ def solvable_full(
                 )
 
     return ok
-
-
-# Ordered slot pairs (first, second) with the implied third slot, for the
-# stage-2-first-clear exploration.
-_PAIRS = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1))
-_PAIR_A = jnp.array([p[0] for p in _PAIRS], jnp.int32)
-_PAIR_B = jnp.array([p[1] for p in _PAIRS], jnp.int32)
-_PAIR_C = jnp.array([3 - p[0] - p[1] for p in _PAIRS], jnp.int32)
-
-ALPHA_COMBOS = 8  # clearing-single placements simulated per pass
-BETA_BLOCKS = 8   # join-clear (pair, first-anchor) groups simulated per pass
-
-
-def solvable_exact(
-    board: jnp.ndarray,
-    piece_ids: jnp.ndarray,
-    valid3: jnp.ndarray,
-    need: jnp.ndarray,
-) -> jnp.ndarray:
-    """Exact verdict for lanes that already failed the disjoint fast path.
-
-    Built on a case split by *when the first line clear happens* in a
-    solution order (see `unsolvable_certain` for the proof sketch; the
-    reference recursion is `engine.py:174-238`):
-
-      * never / stage 3 — implies a disjoint triple on the original board,
-        which the caller has already ruled out;
-      * stage 1 (α) — some piece has a valid line-completing placement;
-        simulate its cleared board and ask whether the remaining pair is
-        placeable there (disjoint pair, or second-clear simulation);
-      * stage 2 (β) — a disjoint valid pair, first placement non-clearing,
-        whose union completes a line; simulate the cleared union board and
-        ask whether the third piece fits.
-
-    Both candidate sets are predicted from ROW_COUNT/COL_COUNT tables
-    without simulation and are small in practice, so each pass simulates at
-    most ALPHA_COMBOS clearing singles and BETA_BLOCKS join-clear groups per
-    lane; a while-loop continues until every candidate is explored or the
-    lane is proven solvable — the verdict is exact, not a screen.
-
-    TPU shape discipline (learned from the op profile): per-lane piece
-    geometry is gathered ONCE ([N,3,64,64] and the six ordered no-conflict
-    planes built from three gathers + transposes), and every contraction is
-    a true batched matmul — the naive per-(lane,combo) mat-vec forms get
-    decomposed by XLA into f32 multiply+reduce over [N*M,64,64] tensors,
-    which dominated the step at ~10 ms/pass.
-
-    Args:
-      board: [N, 8, 8] uint8.
-      piece_ids: [N, 3] int32.
-      valid3: [N, 3, 64] bool.
-      need: [N] bool.
-    Returns:
-      [N] bool — exact solvability, False wherever ~need.
-    """
-    n = board.shape[0]
-    flat = board.reshape(n, NUM_CELLS).astype(jnp.uint8)
-    rowsum = jnp.sum(board.astype(jnp.int32), axis=2)  # [N, 8]
-    colsum = jnp.sum(board.astype(jnp.int32), axis=1)
-    rc = ROW_COUNT[piece_ids]  # [N, 3, 64, 8]
-    cc = COL_COUNT[piece_ids]
-
-    # α candidates: valid single clearing placements, [N, 3, 64].
-    cand1 = valid3 & (
-        jnp.any(rowsum[:, None, None, :] + rc == BOARD_SIZE, axis=-1)
-        | jnp.any(colsum[:, None, None, :] + cc == BOARD_SIZE, axis=-1)
-    )
-
-    # β candidates: ordered pairs, non-clearing first, union completes a
-    # line, [N, 6, 64, 64] (first-anchor, second-anchor).
-    cand_b = []
-    for a, b in _PAIRS:
-        pa, pb = piece_ids[:, a], piece_ids[:, b]
-        row_u = jnp.any(
-            rowsum[:, None, None, :] + rc[:, a][:, :, None, :]
-            + rc[:, b][:, None, :, :] == BOARD_SIZE,
-            axis=-1,
-        )
-        col_u = jnp.any(
-            colsum[:, None, None, :] + cc[:, a][:, :, None, :]
-            + cc[:, b][:, None, :, :] == BOARD_SIZE,
-            axis=-1,
-        )
-        cand_b.append(
-            (valid3[:, a] & ~cand1[:, a])[:, :, None]
-            & valid3[:, b][:, None, :]
-            & ~PAIR_CONFLICT[pa, pb]
-            & (row_u | col_u)
-        )
-    cand_b = jnp.stack(cand_b, axis=1)                 # [N, 6, 64, 64]
-    cand_b_flat = cand_b.reshape(n, 6 * NUM_CELLS, NUM_CELLS)
-
-    rem_a0 = cand1.reshape(n, PIECES_PER_TURN * NUM_CELLS) & need[:, None]
-    rem_b0 = jnp.any(cand_b, axis=3).reshape(n, 6 * NUM_CELLS) & need[:, None]
-    rows = jnp.arange(n)[:, None]
-    dn_cells1 = (((2,), (2,)), ((0,), (0,)))     # [N,A,64c] x [N,B,64c]
-    dn_pair = (((3,), (2,)), ((0, 1), (0, 1)))   # [N,6,64,64] x [N,6,64,M]
-    dn3 = (((3,), (3,)), ((0, 1), (0, 1)))       # contract cells of 4-d pairs
-
-    # ---- per-lane piece geometry, gathered once ----
-    occ3b = PLACEMENT[piece_ids]                 # [N, 3, 64, 64] bool
-    occ3f = occ3b.astype(_BF16)
-    occ3_flat = occ3f.reshape(n, PIECES_PER_TURN * NUM_CELLS, NUM_CELLS)
-    aok3 = ANCHOR_OK[piece_ids]                  # [N, 3, 64]
-    # Six ordered no-conflict planes from three gathers + transposes
-    # (conflict is symmetric: NC[y,x] = NC[x,y]^T).
-    nc01 = NO_CONFLICT_BF16[piece_ids[:, 0], piece_ids[:, 1]]
-    nc02 = NO_CONFLICT_BF16[piece_ids[:, 0], piece_ids[:, 2]]
-    nc12 = NO_CONFLICT_BF16[piece_ids[:, 1], piece_ids[:, 2]]
-    nc_stack = jnp.stack(
-        [nc01, nc01.transpose(0, 2, 1), nc02, nc02.transpose(0, 2, 1),
-         nc12, nc12.transpose(0, 2, 1)], axis=1,
-    )                                            # [N, 6, 64(aq), 64(ar)]
-    # vall row for each ordered pair's second piece: _PAIRS[d][1].
-    _y_idx = jnp.array([p[1] for p in _PAIRS], jnp.int32)
-    # (slot, order) -> ordered-pair index d with (q,r)=((s+1+o)%3,(s+2-o)%3).
-    _d_of = {p: d for d, p in enumerate(_PAIRS)}
-    d_table = jnp.array(
-        [[_d_of[((s + 1 + o) % 3, (s + 2 - o) % 3)] for o in (0, 1)]
-         for s in range(3)], jnp.int32,
-    )                                            # [3, 2]
-
-    def cond(carry):
-        ok, rem_a, rem_b = carry
-        live = ~ok[:, None]
-        return jnp.any(rem_a & live) | jnp.any(rem_b & live)
-
-    def body(carry):
-        ok, rem_a, rem_b = carry
-        live = ~ok[:, None]
-
-        # ---- α: clearing single, then the remaining pair on the cleared
-        # board (disjoint, or second-clear simulated) ----
-        sa_val, sa_idx = jax.lax.top_k(
-            (rem_a & live).astype(_F32), ALPHA_COMBOS
-        )
-        a_live = sa_val > 0.5                           # [N, M]
-        slot = sa_idx // NUM_CELLS
-        occ1 = jnp.take_along_axis(
-            occ3b.reshape(n, PIECES_PER_TURN * NUM_CELLS, NUM_CELLS),
-            sa_idx[:, :, None], axis=1,
-        )                                               # [N, M, 64]
-        b1 = clear_lines_flat(flat[:, None, :] | occ1.astype(jnp.uint8))
-        b1f = b1.astype(_BF16)                          # [N, M, 64]
-        g1 = b1.reshape(n, ALPHA_COMBOS, BOARD_SIZE, BOARD_SIZE)
-        rs1 = jnp.sum(g1.astype(jnp.int32), axis=-1)    # [N, M, 8]
-        cs1 = jnp.sum(g1.astype(jnp.int32), axis=-2)
-
-        # Validity of all 3 drawn pieces on all M cleared boards in ONE
-        # lane-batched matmul: [192, 64] @ [64, M].
-        ov_all = jax.lax.dot_general(
-            occ3_flat, b1f, dn_cells1, preferred_element_type=_F32
-        )                                               # [N, 192, M]
-        vall = (
-            aok3.reshape(n, PIECES_PER_TURN * NUM_CELLS)[:, :, None]
-            & (ov_all < 0.5)
-        ).reshape(n, PIECES_PER_TURN, NUM_CELLS, ALPHA_COMBOS)
-        vall_t = vall.transpose(0, 3, 1, 2)             # [N, M, 3, 64]
-        # Disjoint-pair reach for all six ordered pairs at once:
-        # t[d][aq, m] = sum_ar nc_d[aq, ar] * vall[y_d][ar, m].
-        vall_y = vall[:, _y_idx].astype(_BF16)          # [N, 6, 64, M]
-        t_stack = jax.lax.dot_general(
-            nc_stack, vall_y, dn_pair, preferred_element_type=_F32
-        )                                               # [N, 6, 64, M]
-        t_stack_t = t_stack.transpose(0, 3, 1, 2)       # [N, M, 6, 64]
-
-        ok_new = ok
-        for o in (0, 1):
-            q_slot = (slot + 1 + o) % 3                 # [N, M]
-            r_slot = (slot + 2 - o) % 3
-            d_idx = d_table[:, o][slot]                 # [N, M]
-            vq = jnp.take_along_axis(
-                vall_t, q_slot[:, :, None, None], axis=2
-            )[:, :, 0]                                  # [N, M, 64]
-            t_sel = jnp.take_along_axis(
-                t_stack_t, d_idx[:, :, None, None], axis=2
-            )[:, :, 0]                                  # [N, M, 64]
-            ok_new = ok_new | jnp.any(
-                a_live[:, :, None] & vq & (t_sel > 0.5), axis=(1, 2)
-            )
-            # q clears b1, then r on the doubly-cleared board
-            rc_q = jnp.take_along_axis(
-                rc, q_slot[:, :, None, None], axis=1
-            )                                           # [N, M, 64, 8]
-            cc_q = jnp.take_along_axis(cc, q_slot[:, :, None, None], axis=1)
-            causes2 = jnp.any(
-                rs1[:, :, None, :] + rc_q == BOARD_SIZE, axis=-1
-            ) | jnp.any(cs1[:, :, None, :] + cc_q == BOARD_SIZE, axis=-1)
-            cand2 = vq & causes2                        # [N, M, 64]
-            occ_q = jnp.take_along_axis(
-                occ3b, q_slot[:, :, None, None], axis=1
-            )                                           # [N, M, 64, 64]
-            b2 = clear_lines_flat(
-                b1[:, :, None, :] | occ_q.astype(jnp.uint8)
-            )                                           # [N, M, 64a2, 64]
-            occ_r = jnp.take_along_axis(
-                occ3f, r_slot[:, :, None, None], axis=1
-            )                                           # [N, M, 64, 64]
-            ov3 = jax.lax.dot_general(
-                b2.astype(_BF16), occ_r, dn3, preferred_element_type=_BF16
-            )                                           # [N, M, 64a2, 64a3]
-            aok_r = jnp.take_along_axis(aok3, r_slot[:, :, None], axis=1)
-            fits = jnp.any(
-                aok_r[:, :, None, :] & (ov3 < 0.5), axis=-1
-            )                                           # [N, M, 64]
-            ok_new = ok_new | jnp.any(
-                a_live[:, :, None] & cand2 & fits, axis=(1, 2)
-            )
-        rem_a = rem_a.at[rows, sa_idx].set(False)
-
-        # ---- β: disjoint non-clearing-first pair whose union clears, then
-        # the third piece on the cleared union board ----
-        sb_val, sb_idx = jax.lax.top_k(
-            (rem_b & live).astype(_F32), BETA_BLOCKS
-        )
-        b_live = sb_val > 0.5                           # [N, B]
-        cpair = sb_idx // NUM_CELLS
-        a1b = sb_idx % NUM_CELLS
-        sa_ = _PAIR_A[cpair]                            # [N, B] slots
-        sb_ = _PAIR_B[cpair]
-        sc_ = _PAIR_C[cpair]
-        occa = jnp.take_along_axis(
-            occ3b.reshape(n, PIECES_PER_TURN * NUM_CELLS, NUM_CELLS),
-            (sa_ * NUM_CELLS + a1b)[:, :, None], axis=1,
-        )                                               # [N, B, 64]
-        base = flat[:, None, :] | occa.astype(jnp.uint8)
-        occ_b2 = jnp.take_along_axis(occ3b, sb_[:, :, None, None], axis=1)
-        b2b = clear_lines_flat(
-            base[:, :, None, :] | occ_b2.astype(jnp.uint8)
-        )                                               # [N, B, 64a2, 64]
-        occ_c = jnp.take_along_axis(occ3f, sc_[:, :, None, None], axis=1)
-        ov3b = jax.lax.dot_general(
-            b2b.astype(_BF16), occ_c, dn3, preferred_element_type=_BF16
-        )                                               # [N, B, 64a2, 64a3]
-        aok_c = jnp.take_along_axis(aok3, sc_[:, :, None], axis=1)
-        fitsb = jnp.any(
-            aok_c[:, :, None, :] & (ov3b < 0.5), axis=-1
-        )                                               # [N, B, 64a2]
-        candb_sel = jnp.take_along_axis(
-            cand_b_flat, sb_idx[:, :, None], axis=1
-        )                                               # [N, B, 64]
-        ok_new = ok_new | jnp.any(
-            b_live[:, :, None] & candb_sel & fitsb, axis=(1, 2)
-        )
-        rem_b = rem_b.at[rows, sb_idx].set(False)
-        return ok_new, rem_a, rem_b
-
-    ok, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.zeros(n, bool), rem_a0, rem_b0)
-    )
-    return ok & need
-
-
-def _full_compact(
-    board: jnp.ndarray, piece_ids: jnp.ndarray, need: jnp.ndarray
-) -> jnp.ndarray:
-    """Exact search for the lanes in `need`, compacted to GATHER_LANES.
-
-    Needy lanes are gathered into a fixed [GATHER_LANES] buffer (top_k on the
-    mask), resolved with the vectorized exhaustive search, and scattered
-    back; a while-loop repeats the pass if more lanes need it at once, so the
-    verdict stays exact at any batch size.
-    """
-    n = board.shape[0]
-    if n <= GATHER_LANES:
-        return jax.lax.cond(
-            jnp.any(need),
-            lambda: solvable_full(board, piece_ids) & need,
-            lambda: jnp.zeros(n, dtype=bool),
-        )
-
-    k = GATHER_LANES
-
-    def resolve_all():
-        def cond(carry):
-            _, remaining = carry
-            return jnp.any(remaining)
-
-        def body(carry):
-            full, remaining = carry
-            idx = jax.lax.top_k(remaining.astype(_F32), k)[1]
-            ok_k = solvable_full(board[idx], piece_ids[idx], a1_block=64)
-            hit = remaining[idx]  # which gathered slots held real work
-            full = full.at[idx].set((ok_k & hit) | full[idx])
-            remaining = remaining.at[idx].set(remaining[idx] & ~hit)
-            return full, remaining
-
-        full, _ = jax.lax.while_loop(cond, body, (jnp.zeros(n, bool), need))
-        return full
-
-    return jax.lax.cond(
-        jnp.any(need), resolve_all, lambda: jnp.zeros(n, dtype=bool)
-    )
-
-
-def solvable_screened(
-    board: jnp.ndarray,
-    piece_ids: jnp.ndarray,
-    valid3: jnp.ndarray,
-    need: jnp.ndarray,
-) -> jnp.ndarray:
-    """Exact verdict for lanes that already failed the disjoint fast path.
-
-    Delegates to `solvable_exact`, the first-clear case decomposition that
-    simulates only predicted clearing placements instead of the all-anchors
-    search (`solvable_full` remains as the brute-force oracle for tests).
-    """
-    return solvable_exact(board, piece_ids, valid3, need)
-
-
-def solvable(
-    board: jnp.ndarray,
-    all_valid: jnp.ndarray,
-    piece_ids: jnp.ndarray,
-    pending: jnp.ndarray,
-) -> jnp.ndarray:
-    """Exact fast-or-full solvability verdict for the lanes in `pending`.
-
-    Three tiers, each strictly cheaper than the next and each handling the
-    bulk of what reaches it (measured on the real draw distribution under
-    random play):
-      1. disjoint-placement fast path — accepts ~65% of draws outright;
-      2. screens on the failures: clear-then-disjoint accept (~38% of the
-         rest) and provably-unsolvable reject (~35%);
-      3. exhaustive search with simulated clears for the residual, compacted
-         into a fixed [GATHER_LANES] buffer.
-    `fast | screens | full` equals the reference predicate
-    (`/root/reference/src/game/engine.py:174-238`) exactly.
-
-    Args:
-      board: [N, 8, 8] uint8.
-      all_valid: [N, 37, 64] precomputed validity (board is fixed during a
-        regen retry loop, so the caller hoists this).
-      piece_ids: [N, 3] int32 candidate draws.
-      pending: [N] bool — lanes whose draw still needs a verdict.
-    Returns:
-      [N] bool — solvable verdict (meaningful where `pending`).
-    """
-    n = board.shape[0]
-    v3 = gather_piece_validity(all_valid, piece_ids)
-    fast = solvable_disjoint(v3, piece_ids)
-    need = pending & ~fast
-
-    if n <= SCREEN_LANES:
-        screened = jax.lax.cond(
-            jnp.any(need),
-            lambda: solvable_screened(board, piece_ids, v3, need),
-            lambda: jnp.zeros(n, dtype=bool),
-        )
-        return fast | screened
-
-    # Large batch: compact needy lanes into a SCREEN_LANES buffer; loop in
-    # the (rare) event more lanes need screening at once.
-    k = SCREEN_LANES
-
-    def resolve_all():
-        def cond(carry):
-            _, remaining = carry
-            return jnp.any(remaining)
-
-        def body(carry):
-            done, remaining = carry
-            idx = jax.lax.top_k(remaining.astype(_F32), k)[1]
-            hit = remaining[idx]
-            ok_k = solvable_screened(
-                board[idx], piece_ids[idx], v3[idx], hit
-            )
-            done = done.at[idx].set((ok_k & hit) | done[idx])
-            remaining = remaining.at[idx].set(remaining[idx] & ~hit)
-            return done, remaining
-
-        done, _ = jax.lax.while_loop(cond, body, (jnp.zeros(n, bool), need))
-        return done
-
-    screened = jax.lax.cond(
-        jnp.any(need), resolve_all, lambda: jnp.zeros(n, dtype=bool)
-    )
-    return fast | screened

@@ -158,6 +158,22 @@ def _event_draws(ekeys: jnp.ndarray, j0: jnp.ndarray, count: int):
 _TAIL_DRAWS = 4  # speculative attempts per tail round for stuck lanes
 
 
+def _bucket_widths(maxw: int) -> tuple:
+    """Static buffer widths 32, 128, 512, ... maxw (geometric x4 steps).
+
+    Retry rounds pick the smallest bucket covering their *live* demand, so a
+    round that serves a handful of stragglers verdicts a 32-slot buffer, not
+    a fleet-width one.  x4 steps keep the branch count (compile cost) low at
+    a worst-case 4x overshoot, which only ever applies to one round."""
+    ws = []
+    w = 32
+    while w < maxw:
+        ws.append(w)
+        w *= 4
+    ws.append(maxw)
+    return tuple(ws)
+
+
 def regen_pieces(
     board: jnp.ndarray,
     piece_ids: jnp.ndarray,
@@ -271,19 +287,44 @@ def regen_pieces(
         lambda c: spec_round(c, r1, 1, ke1),
         carry,
     )
+
     # Tail: lanes whose first draw failed (~18% of needy, concentrated on
     # hard boards with correlated low acceptance — the worst lane needs
-    # ~20 draws) burn _TAIL_DRAWS speculative attempts per round.  Width
-    # scales with the fleet so the first tail wave is served in one round;
-    # hard boards fail the disjoint tier more often, so the exact buffer
-    # is proportionally larger here.
+    # ~20 draws) burn _TAIL_DRAWS speculative attempts per round.  Hard
+    # boards fail the disjoint tier more often, so the exact buffer is
+    # proportionally larger here (s*r/2 slots vs 3r/8 in the main round).
+    #
+    # Demand sizing: the first wave is ~6% of the fleet and is served by
+    # one round at `rt` width, but later waves shrink geometrically while
+    # their round count grows with fleet width (the worst lane over 32k
+    # envs needs more draws than over 1k).  Those straggler rounds run in
+    # a second loop over a fixed 64-slot buffer — sized from live demand,
+    # not fleet width — so a 16-32k fleet stops paying full-width passes
+    # for a handful of hard lanes.  (A `lax.switch` over bucket widths
+    # inside one while body both trips an XLA cycle-detection crash and
+    # compiles pathologically; two fixed-width loops capture the win.)
     rt = n if n <= 64 else max(64, n // 16)
     mt = rt * _TAIL_DRAWS
-    ids, _, _ = jax.lax.while_loop(
-        lambda c: jnp.any(c[1]),
-        lambda c: spec_round(c, rt, _TAIL_DRAWS, max(32, mt // 2)),
-        carry,
-    )
+    if rt > 64:
+        carry = jax.lax.while_loop(
+            lambda c: jnp.sum(c[1].astype(jnp.int32)) > 64,
+            lambda c: spec_round(c, rt, _TAIL_DRAWS, max(32, mt // 2)),
+            carry,
+        )
+        # Stragglers are hard boards with ~0.5 per-draw acceptance, so 8
+        # speculative draws clear ~99.6% of them per round — the 512-slot
+        # verdict is still ~8x narrower than one fleet-width tail pass.
+        ids, _, _ = jax.lax.while_loop(
+            lambda c: jnp.any(c[1]),
+            lambda c: spec_round(c, 64, 8, 256),
+            carry,
+        )
+    else:
+        ids, _, _ = jax.lax.while_loop(
+            lambda c: jnp.any(c[1]),
+            lambda c: spec_round(c, rt, _TAIL_DRAWS, max(32, mt // 2)),
+            carry,
+        )
     return ids, rng
 
 

@@ -1,5 +1,12 @@
 """Environment layer (L2): device-native vectorized env + gym-style wrappers."""
-from .single import BlockBlastEnv, BlockBlastEnvFlat, register_gym_envs
+from .single import (
+    BlockBlastEnv,
+    BlockBlastEnvFlat,
+    FrameStackWrapper,
+    NormalizedRewardWrapper,
+    make_env,
+    register_gym_envs,
+)
 from .vector import (
     FrameStackVecEnv,
     NormalizedRewardVecEnv,
@@ -12,6 +19,9 @@ from .vector import (
 __all__ = [
     "BlockBlastEnv",
     "BlockBlastEnvFlat",
+    "FrameStackWrapper",
+    "NormalizedRewardWrapper",
+    "make_env",
     "FrameStackVecEnv",
     "NormalizedRewardVecEnv",
     "RunningMeanStd",

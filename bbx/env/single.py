@@ -233,6 +233,85 @@ class BlockBlastEnvFlat(BlockBlastEnv):
         return {"obs": obs, "action_mask": base["action_mask"]}
 
 
+class NormalizedRewardWrapper:
+    """Return-based reward normalization for a single env
+    (`/root/reference/src/environment/wrappers.py:144-196`): running
+    discounted return, Welford moment merge, reward / sqrt(var)."""
+
+    def __init__(self, env, gamma: float = 0.99, epsilon: float = 1e-8):
+        from .vector import RunningMeanStd
+
+        self.env = env
+        self.gamma = gamma
+        self.epsilon = epsilon
+        self.return_rms = RunningMeanStd()
+        self.ret = 0.0
+
+    def reset(self, *args, **kwargs):
+        self.ret = 0.0
+        return self.env.reset(*args, **kwargs)
+
+    def step(self, action):
+        obs, reward, terminated, truncated, info = self.env.step(action)
+        self.ret = self.ret * self.gamma + float(reward)
+        self.return_rms.update(np.asarray([self.ret]))
+        norm = float(reward) / float(
+            np.sqrt(self.return_rms.var + self.epsilon)
+        )
+        if terminated or truncated:
+            self.ret = 0.0
+        return obs, norm, terminated, truncated, info
+
+    def __getattr__(self, item):
+        return getattr(self.env, item)
+
+
+class FrameStackWrapper:
+    """Stack the last k board frames as `obs['board_stack']` (k, 8, 8)
+    (`/root/reference/src/environment/wrappers.py:224-280`)."""
+
+    def __init__(self, env, num_frames: int = 4):
+        self.env = env
+        self.num_frames = num_frames
+        self.frames = np.zeros((num_frames, 8, 8), np.float32)
+
+    def _obs(self, obs):
+        obs = dict(obs)
+        obs["board_stack"] = self.frames.copy()
+        return obs
+
+    def reset(self, *args, **kwargs):
+        obs, info = self.env.reset(*args, **kwargs)
+        self.frames[:] = 0.0
+        self.frames[-1] = obs["board"]
+        return self._obs(obs), info
+
+    def step(self, action):
+        obs, reward, terminated, truncated, info = self.env.step(action)
+        self.frames = np.roll(self.frames, -1, axis=0)
+        self.frames[-1] = obs["board"]
+        return self._obs(obs), reward, terminated, truncated, info
+
+    def __getattr__(self, item):
+        return getattr(self.env, item)
+
+
+def make_env(
+    seed: Optional[int] = None,
+    reward_config: Optional[Dict[str, float]] = None,
+    normalize_reward: bool = False,
+    frame_stack: int = 1,
+):
+    """Single-env factory with optional wrappers
+    (`/root/reference/src/environment/wrappers.py:283-309`)."""
+    env = BlockBlastEnv(seed=seed, reward_config=reward_config)
+    if frame_stack > 1:
+        env = FrameStackWrapper(env, num_frames=frame_stack)
+    if normalize_reward:
+        env = NormalizedRewardWrapper(env)
+    return env
+
+
 def register_gym_envs():
     """Register `BlockBlast-v0` / `BlockBlast-Flat-v0`
     (`block_blast_env.py:392-403`)."""

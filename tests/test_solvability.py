@@ -14,6 +14,16 @@ def _valid3(board, ids):
     return K.valid_anchors_for(board, ids)
 
 
+def _verdict(board, ids, ke=32):
+    """The production verdict (fast | exact over a compacted exact buffer),
+    as `bbx.engine.state._verdict_flat` runs it inside regen; a small `ke`
+    exercises the internal re-run loop on batches with many exact lanes."""
+    from bbx.engine.state import _verdict_flat
+    bits = S.board_bits(board)
+    need = jnp.ones(board.shape[0], bool)
+    return _verdict_flat(bits, ids, need, ke=ke)
+
+
 def test_empty_board_lemma_exhaustive():
     """Every triple of the 37 pieces has 3 pairwise-disjoint placements on an
     empty board — so `fresh_pieces` may skip the solvability retry loop
@@ -69,8 +79,7 @@ def test_full_path_needs_clears():
     # opening 15 cells; the remaining singles then fit.
     ok_full = S.solvable_full(board, ids)
     assert bool(ok_full[0])
-    pending = jnp.ones(1, bool)
-    ok = S.solvable(board, K.valid_anchors_all_pieces(board), ids, pending)
+    ok = _verdict(board, ids)
     assert bool(ok[0])
 
 
@@ -84,8 +93,7 @@ def test_unsolvable_board():
     board = jnp.asarray(g)[None]
     i5 = P.NAME_TO_INDEX["I5_H"]
     ids = jnp.array([[i5, i5, i5]])
-    ok = S.solvable(board, K.valid_anchors_all_pieces(board), ids,
-                    jnp.ones(1, bool))
+    ok = _verdict(board, ids)
     assert not bool(ok[0])
 
 
@@ -93,7 +101,7 @@ def test_gathered_full_path_exactness():
     """`solvable` on a large batch (gather/scatter path) must equal per-lane
     full search, including when some lanes need clears and some don't."""
     rng = np.random.default_rng(11)
-    n = 300  # > GATHER_LANES to exercise the compacted path
+    n = 300  # far above ke=32 to exercise the compacted exact re-run loop
     boards = np.zeros((n, 8, 8), np.uint8)
     ids = rng.integers(0, 37, size=(n, 3)).astype(np.int32)
     single = P.NAME_TO_INDEX["SINGLE"]
@@ -115,8 +123,7 @@ def test_gathered_full_path_exactness():
 
     board = jnp.asarray(boards)
     idsj = jnp.asarray(ids)
-    got = S.solvable(board, K.valid_anchors_all_pieces(board), idsj,
-                     jnp.ones(n, bool))
+    got = _verdict(board, idsj)
     expected = S.solvable_full(board, idsj, a1_block=8)
     # fast path can only add lanes that full search also accepts
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
@@ -149,84 +156,8 @@ def test_differential_vs_reference(reference_src):
 
     board = jnp.asarray(np.stack(boards))
     ids = jnp.asarray(np.stack(triples).astype(np.int32))
-    ok = S.solvable(board, K.valid_anchors_all_pieces(board), ids,
-                    jnp.ones(len(expected), bool))
+    ok = _verdict(board, ids)
     np.testing.assert_array_equal(np.asarray(ok), np.array(expected))
-
-
-def test_screens_sound_against_full_search():
-    """The accept screen only accepts solvable triples, the reject screen
-    only rejects unsolvable ones, and the composed `solvable` equals the
-    exhaustive search — over random boards biased toward the fills where the
-    screens actually fire (clear-dependent / stuck draws)."""
-    rng = np.random.default_rng(123)
-    n = 400
-    boards = (rng.random((n, 8, 8)) < rng.uniform(0.35, 0.8, (n, 1, 1))
-              ).astype(np.uint8)
-    ids = jnp.asarray(rng.integers(0, 37, size=(n, 3)).astype(np.int32))
-    board = jnp.asarray(boards)
-    av = K.valid_anchors_all_pieces(board)
-    v3 = K.gather_piece_validity(av, ids)
-
-    exact = np.asarray(S.solvable_full(board, ids, a1_block=8))
-    cand = S.clear_candidates(board, ids, v3)
-    s1 = np.asarray(S.solvable_clear1(board, ids, cand))
-    rej = np.asarray(S.unsolvable_certain(board, ids, v3, cand))
-    fast = np.asarray(S.solvable_disjoint(v3, ids))
-
-    # soundness: accept screen => solvable; reject screen => not solvable
-    # (reject is only claimed for lanes that failed the disjoint path).
-    assert not np.any(s1 & ~exact), "accept screen accepted unsolvable"
-    assert not np.any(rej & ~fast & exact), "reject screen rejected solvable"
-
-    # the composed pipeline is exact
-    got = np.asarray(S.solvable(board, av, ids, jnp.ones(n, bool)))
-    np.testing.assert_array_equal(got, exact)
-
-    # make sure this distribution actually exercises every tier
-    assert s1.sum() > 0 and (rej & ~fast).sum() > 0 and fast.sum() > 0
-
-
-def test_exact_decomposition_equals_oracle():
-    """`solvable_exact` (first-clear case decomposition) must equal the
-    brute-force all-anchors search on a distribution dense in clear-dependent
-    and unsolvable draws, including the adversarial shapes: solutions that
-    need two sequential clears, join-clear-pair-only solutions, and boards
-    with many clearing placements (exercising the multi-pass loop)."""
-    rng = np.random.default_rng(7)
-    n = 600
-    boards = np.zeros((n, 8, 8), np.uint8)
-    ids = rng.integers(0, 37, size=(n, 3)).astype(np.int32)
-    single = P.NAME_TO_INDEX["SINGLE"]
-    for i in range(n):
-        kind = i % 4
-        if kind == 0:
-            boards[i] = rng.random((8, 8)) < rng.uniform(0.35, 0.85)
-        elif kind == 1:
-            # nearly-full rows: many clearing placements (loop path)
-            boards[i] = rng.random((8, 8)) < 0.3
-            for rrow in range(0, 8, 2):
-                boards[i, rrow] = 1
-                boards[i, rrow, rng.integers(0, 8)] = 0
-        elif kind == 2:
-            # one free cell: singles solvable only via cascading clears
-            boards[i] = 1
-            boards[i, 0, 0] = 0
-            ids[i] = [single] * 3
-        else:
-            boards[i] = rng.random((8, 8)) < 0.6
-
-    board = jnp.asarray(boards)
-    idsj = jnp.asarray(ids)
-    av = K.valid_anchors_all_pieces(board)
-    v3 = K.gather_piece_validity(av, idsj)
-    fast = np.asarray(S.solvable_disjoint(v3, idsj))
-    oracle = np.asarray(S.solvable_full(board, idsj, a1_block=8))
-    need = jnp.asarray(~fast)
-    got = np.asarray(S.solvable_exact(board, idsj, v3, need))
-    np.testing.assert_array_equal(got, oracle & ~fast)
-    # distribution must exercise both branches
-    assert (got & ~fast).sum() > 20 and ((~got) & ~fast).sum() > 20
 
 
 # ---------------------------------------------------------------------------
@@ -275,16 +206,6 @@ def test_bitboard_disjoint_matches_dense():
     v3 = jax.jit(S.valid3_bits)(bits, ids)
     ref = jax.jit(S.solvable_disjoint)(v3, ids)
     got = jax.jit(S.solvable_disjoint_bits)(bits, ids, v3)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
-
-
-def test_bitboard_clear1_matches_dense():
-    _, board, ids = _random_boards_and_ids(4, 512)
-    bits = S.board_bits(board)
-    v3 = jax.jit(S.valid3_bits)(bits, ids)
-    cand = jax.jit(S.clear_candidates)(board, ids, v3)
-    ref = jax.jit(S.solvable_clear1)(board, ids, cand)
-    got = jax.jit(S.solvable_clear1_bits)(bits, ids, cand)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
