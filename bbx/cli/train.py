@@ -15,6 +15,19 @@ def main(argv=None) -> int:
                     help="per-phase timing, MFU estimate, one trace dump")
     args = ap.parse_args(argv)
 
+    import os
+
+    import jax
+
+    # Persistent compile cache: repeated launches at the same shapes skip
+    # the minutes-long first compile (bench.py does the same).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(os.getcwd(), ".jax_cache")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     from ..agent.trainer import train
     from ..parallel.distributed import initialize_multihost
     from ..utils.config import load_config

@@ -39,12 +39,13 @@ def main():
     from bbx.engine.step import observe, step
     from bbx.env.vector import sample_valid_actions_device
 
-    # Fleet-size sweep on the one v5e chip (round 3): 4096 -> 1.07M
-    # steps/s (5.5% spread), 8192 -> 1.05M (2.3%), 16384 -> 954k (3.7%),
-    # 32768 -> 832k.  The regen tail-retry loop's full-width exact passes
-    # grow with fleet size, so past ~8k envs throughput falls; 8192 is the
-    # sweet spot with the tightest window spread.
-    num_envs = int(os.environ.get("BBX_BENCH_ENVS", 8192))
+    # Fleet-size sweep on the one v5e chip (round 4, after the demand-sized
+    # regen tail): 8192 -> 1.575M steps/s (3.0% spread), 16384 -> 1.687M
+    # (1.2%), 32768 -> 1.495M (1.9%).  Round 3 peaked at 8192 (1.05M) and
+    # fell past it because every tail retry round paid a fleet-width exact
+    # pass; with straggler rounds served from a fixed 64-slot buffer the
+    # curve is flat-topped at 16384.
+    num_envs = int(os.environ.get("BBX_BENCH_ENVS", 16384))
     chunk = int(os.environ.get("BBX_BENCH_CHUNK", 64))
     windows = int(os.environ.get("BBX_BENCH_WINDOWS", 5))
     iters = int(os.environ.get("BBX_BENCH_ITERS", 2))  # chunks per window
