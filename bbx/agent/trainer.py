@@ -537,6 +537,14 @@ def train(
 
     best_score = -float("inf")
     best_eval = -float("inf")
+    init_from = tr_cfg.get("init_from")
+    if init_from and not resume_path:
+        # Warm start: network weights (and BN stats) only — fresh optimizer,
+        # schedules, env fleet, and step counter.  The fine-tune analogue of
+        # --resume, which restores the full training state instead.
+        trainer.load_params_only(init_from)
+        if primary:
+            print(f"initialized params from {init_from}")
     if resume_path:
         trainer.load(resume_path)
         best_score = trainer._loaded_extra.get("best_score", best_score)

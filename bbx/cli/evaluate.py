@@ -30,19 +30,34 @@ def evaluate_policy(
     max_steps: int = 10_000,
     chunk: int = 64,
     progress: bool = False,
+    lookahead: bool = False,
+    gamma: float = 0.99,
 ) -> Dict[str, Any]:
     """Run `num_episodes` full episodes in parallel lanes; return statistics
-    (`evaluate.py:23-117`)."""
+    (`evaluate.py:23-117`).
+
+    `lookahead=True` switches from the raw policy to policy+1-ply value
+    search (`bbx.agent.lookahead`) — a beyond-the-reference eval mode whose
+    results must be labeled as such, never mixed with raw-policy numbers.
+    """
+    if lookahead:
+        from ..agent.lookahead import lookahead_actions
 
     @jax.jit
     def run_chunk(state, key):
         def body(state, key_t):
-            obs = observe(state)
-            logits, _ = network.apply(
-                variables, obs["board"], obs["pieces"], obs["action_mask"],
-                train=False,
-            )
-            action = D.mode(logits) if deterministic else D.sample(key_t, logits)
+            if lookahead:
+                action = lookahead_actions(
+                    network, variables, state, key_t, gamma=gamma,
+                )
+            else:
+                obs = observe(state)
+                logits, _ = network.apply(
+                    variables, obs["board"], obs["pieces"],
+                    obs["action_mask"], train=False,
+                )
+                action = (D.mode(logits) if deterministic
+                          else D.sample(key_t, logits))
             out = step(state, action, RewardConfig(), auto_reset=False)
             return out.state, None
 
@@ -79,6 +94,7 @@ def evaluate_policy(
     return {
         "num_episodes": num_episodes,
         "deterministic": deterministic,
+        "lookahead": lookahead,
         "completed": int(done.sum()),
         "truncated": int((~done).sum()),
         "score_mean": float(scores.mean()),
@@ -147,6 +163,9 @@ def main(argv=None) -> int:
     ap.add_argument("--config", default=None)
     ap.add_argument("--episodes", type=int, default=100)
     ap.add_argument("--deterministic", action="store_true")
+    ap.add_argument("--lookahead", action="store_true",
+                    help="policy+1-ply value search (beyond-the-reference "
+                         "mode; report as search-assisted, not raw policy)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--output", default=None, help="JSON results path")
     args = ap.parse_args(argv)
@@ -157,6 +176,7 @@ def main(argv=None) -> int:
     results = evaluate_policy(
         network, variables, num_episodes=args.episodes,
         deterministic=args.deterministic, seed=args.seed, progress=True,
+        lookahead=args.lookahead,
     )
     print_results(results)
     if args.output:
