@@ -57,6 +57,12 @@ class PPOConfig:
     # torch modules default to train mode, so the reference's rollout uses
     # batch-stat BN and live dropout; flip this for deterministic rollouts.
     rollout_train_mode: bool = True
+    # Fraction of rollout actions taken by the 1-ply value search instead of
+    # the policy sample (bbx.agent.lookahead) — a search-distillation mode
+    # (beyond the reference): the stored log-prob is the POLICY's, so the
+    # clipped update pulls the policy toward high-advantage search behavior.
+    # 0.0 (default) is the reference-faithful pure-policy rollout.
+    rollout_search_frac: float = 0.0
     # Optional linear schedules over `schedule_updates` PPO iterations
     # (the reference trains at constant lr/entropy; these default off).
     final_learning_rate: Optional[float] = None
@@ -158,6 +164,20 @@ def rollout(network, config: PPOConfig, reward_config: RewardConfig,
             mutable=train_mode,
         )
         action = D.sample(k_samp, logits)
+        if config.rollout_search_frac > 0.0:
+            from .lookahead import lookahead_actions
+
+            k_look, k_mix = jr.split(jr.fold_in(key_t, 1))
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            search_a = lookahead_actions(
+                network, variables, env_state, k_look,
+                reward_config=reward_config, gamma=config.gamma,
+            )
+            use = (jr.uniform(k_mix, action.shape)
+                   < config.rollout_search_frac)
+            action = jnp.where(use, search_a, action)
         logp = D.log_prob(logits, action)
         out = step(env_state, action, reward_config, auto_reset=True)
         trans = {

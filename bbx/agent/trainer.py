@@ -69,6 +69,7 @@ def ppo_config_from(
         minibatch_size=tr.get("batch_size", 2048),
         rollout_steps=rollout_steps,
         num_envs=num_envs,
+        rollout_search_frac=ppo.get("rollout_search_frac", 0.0),
         final_learning_rate=ppo.get("final_learning_rate"),
         final_entropy_coef=ppo.get("final_entropy_coef"),
         schedule_updates=schedule_updates,
