@@ -179,6 +179,12 @@ def rollout(network, config: PPOConfig, reward_config: RewardConfig,
                    < config.rollout_search_frac)
             action = jnp.where(use, search_a, action)
         logp = D.log_prob(logits, action)
+        if config.rollout_search_frac > 0.0:
+            # A search action the policy gives ~zero mass underflows
+            # log-softmax to -inf (bf16), which would poison the update's
+            # exp(new - old) ratio; floor it so the worst case is a large
+            # finite clipped-away ratio, not a NaN.
+            logp = jnp.maximum(logp, -15.0)
         out = step(env_state, action, reward_config, auto_reset=True)
         trans = {
             "board": env_state.board,                    # uint8 [N,8,8]
@@ -286,6 +292,8 @@ def update(network, config: PPOConfig, tx, ts: TrainState, traj,
             train=True, dropout_key=dropout_key, mutable=True,
         )
         new_logp = D.log_prob(logits, batch["action"])
+        if config.rollout_search_frac > 0.0:
+            new_logp = jnp.maximum(new_logp, -15.0)
         entropy = D.masked_entropy(logits, batch["mask"])
 
         ratio = jnp.exp(new_logp - batch["logp"])
