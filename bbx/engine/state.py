@@ -191,14 +191,14 @@ def regen_pieces(
     the reference's sequential retry, while any number of attempts can be
     drawn and verdicted together.
 
-    Cost shape (measured on TPU, the op trace in RESULTS.md): the verdict
-    is HBM-bound in its gathered conflict/placement planes, so total cost
-    is proportional to *verdict slots*, not rounds.  A draw is solvable
-    w.p. ~0.9, so the main round spends exactly ONE draw per needy lane
-    (speculating more multiplies the dominant cost for a ~10% case), and
-    only the rare stuck lanes (~10% of needy) move to compact tail rounds
-    that speculate `_TAIL_DRAWS` attempts at `_TAIL_LANES` width — wide
-    enough that the tail almost always clears in one round.
+    Cost shape (measured on TPU, the op trace in RESULTS.md): verdict cost
+    is proportional to *verdict slots*, so every buffer is sized to its
+    live demand.  A draw is solvable w.p. ~0.9, so the main round spends
+    exactly ONE draw per needy lane (speculating more multiplies the
+    dominant cost for a ~10% case); the rare stuck lanes move to a wide
+    tail round (`_TAIL_DRAWS` speculative attempts each), and stragglers
+    beyond that drain through a fixed 64-slot loop instead of paying
+    fleet-proportional widths round after round.
 
     Args:
       board: [N, 8, 8] uint8 (fixed during the retry loop).
