@@ -140,3 +140,21 @@ class TestVectorEnv:
         obs, rewards, dones, infos = venv.step(acts)
         assert np.isfinite(rewards).all()
         assert obs["board_stack"].shape == (4, 3, 8, 8)
+
+
+def test_make_env_factory_with_wrappers():
+    """Single-env factory + wrappers (`wrappers.py:283-309` analogue)."""
+    from bbx.env import make_env
+
+    env = make_env(seed=5, normalize_reward=True, frame_stack=3)
+    obs, info = env.reset()
+    assert obs["board_stack"].shape == (3, 8, 8)
+    mask = obs["action_mask"]
+    import numpy as np
+
+    a = int(np.nonzero(mask)[0][0])
+    obs2, r, term, trunc, info2 = env.step(a)
+    assert obs2["board_stack"].shape == (3, 8, 8)
+    assert np.isfinite(r)
+    # normalized reward differs from the raw shaped reward in general
+    assert isinstance(term, (bool, np.bool_)) or term in (0, 1)
