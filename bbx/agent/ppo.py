@@ -57,12 +57,26 @@ class PPOConfig:
     # torch modules default to train mode, so the reference's rollout uses
     # batch-stat BN and live dropout; flip this for deterministic rollouts.
     rollout_train_mode: bool = True
+    # --- search distillation (beyond the reference) ----------------------
     # Fraction of rollout actions taken by the 1-ply value search instead of
-    # the policy sample (bbx.agent.lookahead) — a search-distillation mode
-    # (beyond the reference): the stored log-prob is the POLICY's, so the
-    # clipped update pulls the policy toward high-advantage search behavior.
-    # 0.0 (default) is the reference-faithful pure-policy rollout.
+    # the policy sample (bbx.agent.lookahead).  May be annealed (DAgger-
+    # style) via final_rollout_search_frac so the policy must stand alone by
+    # the end of training.  0.0 (default) is the reference-faithful
+    # pure-policy rollout.
     rollout_search_frac: float = 0.0
+    final_rollout_search_frac: Optional[float] = None
+    # Behavior-cloning auxiliary loss: cross-entropy of the policy against
+    # the search-chosen action at EVERY rollout state (the search action is
+    # recorded even on steps where the env executed the policy sample).
+    # The clipped-ratio surrogate is a weak distillation signal for actions
+    # the policy gives near-zero mass; this is the explicit supervised
+    # channel.  Annealable to 0 via final_bc_coef.
+    bc_coef: float = 0.0
+    final_bc_coef: Optional[float] = None
+    # Restrict the 1-ply simulation to the top-k masked policy logits
+    # (0 = all 192 actions).  Cuts the lookahead fleet from N*192 to N*k,
+    # which is what makes search rollouts affordable at 1024+ envs.
+    search_topk: int = 0
     # Optional linear schedules over `schedule_updates` PPO iterations
     # (the reference trains at constant lr/entropy; these default off).
     final_learning_rate: Optional[float] = None
@@ -72,6 +86,18 @@ class PPOConfig:
     @property
     def batch_size(self) -> int:
         return self.rollout_steps * self.num_envs
+
+    @property
+    def uses_search(self) -> bool:
+        """Static (trace-time) flag: does any phase of this run need the
+        1-ply search in rollouts?  The per-update amount is dynamic
+        (annealed); this gates whether the search machinery is traced in."""
+        return (
+            self.rollout_search_frac > 0.0
+            or (self.final_rollout_search_frac or 0.0) > 0.0
+            or self.bc_coef > 0.0
+            or (self.final_bc_coef or 0.0) > 0.0
+        )
 
 
 @struct.dataclass
@@ -97,15 +123,32 @@ def make_optimizer(config: PPOConfig) -> optax.GradientTransformation:
     )
 
 
+def _linear_at(c0: float, c1: Optional[float], horizon: int,
+               update_step: jnp.ndarray) -> jnp.ndarray:
+    """Linear schedule c0 -> c1 over `horizon` PPO iterations (traced)."""
+    if c1 is None or horizon <= 0:
+        return jnp.float32(c0)
+    frac = jnp.clip(update_step.astype(jnp.float32) / horizon, 0.0, 1.0)
+    return jnp.float32(c0) + (jnp.float32(c1) - jnp.float32(c0)) * frac
+
+
 def entropy_coef_at(config: PPOConfig, update_step: jnp.ndarray) -> jnp.ndarray:
     """Entropy coefficient for the given PPO iteration (traced-friendly)."""
-    c0 = config.entropy_coef
-    if config.final_entropy_coef is None or config.schedule_updates <= 0:
-        return jnp.float32(c0)
-    frac = jnp.clip(
-        update_step.astype(jnp.float32) / config.schedule_updates, 0.0, 1.0
-    )
-    return jnp.float32(c0) + (jnp.float32(config.final_entropy_coef) - c0) * frac
+    return _linear_at(config.entropy_coef, config.final_entropy_coef,
+                      config.schedule_updates, update_step)
+
+
+def search_frac_at(config: PPOConfig, update_step: jnp.ndarray) -> jnp.ndarray:
+    """Search-action fraction for the given PPO iteration (annealable)."""
+    return _linear_at(config.rollout_search_frac,
+                      config.final_rollout_search_frac,
+                      config.schedule_updates, update_step)
+
+
+def bc_coef_at(config: PPOConfig, update_step: jnp.ndarray) -> jnp.ndarray:
+    """Behavior-cloning coefficient for the given PPO iteration."""
+    return _linear_at(config.bc_coef, config.final_bc_coef,
+                      config.schedule_updates, update_step)
 
 
 def init_train_state(network, config: PPOConfig, key) -> TrainState:
@@ -145,14 +188,20 @@ def _apply(network, params, batch_stats, obs, *, train, dropout_key=None,
 
 
 def rollout(network, config: PPOConfig, reward_config: RewardConfig,
-            params, batch_stats, env_state: EnvState, key):
+            params, batch_stats, env_state: EnvState, key,
+            update_step=None):
     """Collect `rollout_steps` transitions for every env, entirely on device.
 
     Returns (env_state, batch_stats, traj, ep_stats) where `traj` is a dict
     of [T, N, ...] arrays and `ep_stats` aggregates finished episodes.
+    `update_step` drives the (optional) search-frac / BC-coef anneals.
     """
     train_mode = config.rollout_train_mode
     obs0 = observe(env_state)
+    if update_step is None:
+        update_step = jnp.int32(0)
+    frac = search_frac_at(config, update_step)
+    bc_now = bc_coef_at(config, update_step)
 
     def body(carry, key_t):
         env_state, obs, batch_stats = carry
@@ -164,26 +213,42 @@ def rollout(network, config: PPOConfig, reward_config: RewardConfig,
             mutable=train_mode,
         )
         action = D.sample(k_samp, logits)
-        if config.rollout_search_frac > 0.0:
+        search_a = None
+        if config.uses_search:
             from .lookahead import lookahead_actions
 
             k_look, k_mix = jr.split(jr.fold_in(key_t, 1))
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
-            search_a = lookahead_actions(
-                network, variables, env_state, k_look,
-                reward_config=reward_config, gamma=config.gamma,
+
+            def _search(args):
+                st, lg, k = args
+                return lookahead_actions(
+                    network, variables, st, k,
+                    reward_config=reward_config, gamma=config.gamma,
+                    topk=config.search_topk, policy_logits=lg,
+                )
+
+            # lax.cond, not where: once the anneal reaches 0 the N*k-lane
+            # simulation is genuinely skipped, so the tail of a DAgger-style
+            # run costs the same as a pure-policy rollout.
+            search_a = jax.lax.cond(
+                (frac > 0.0) | (bc_now > 0.0),
+                _search,
+                lambda args: jnp.zeros_like(action),
+                (env_state, logits, k_look),
             )
-            use = (jr.uniform(k_mix, action.shape)
-                   < config.rollout_search_frac)
+            use = jr.uniform(k_mix, action.shape) < frac
             action = jnp.where(use, search_a, action)
         logp = D.log_prob(logits, action)
-        if config.rollout_search_frac > 0.0:
-            # A search action the policy gives ~zero mass underflows
-            # log-softmax to -inf (bf16), which would poison the update's
-            # exp(new - old) ratio; floor it so the worst case is a large
-            # finite clipped-away ratio, not a NaN.
+        if config.uses_search:
+            # Floor only the STORED logp (advisor, round 4): a search action
+            # the policy gives ~zero mass would store logp ~ -1e9 and the
+            # update's exp(new - old) ratio would overflow.  With the floor,
+            # new_logp <= 0 bounds the ratio at e^15; the update's own
+            # gradient is bounded by its clipping (see `update`), so the
+            # fresh log-prob there stays UNfloored and keeps its gradient.
             logp = jnp.maximum(logp, -15.0)
         out = step(env_state, action, reward_config, auto_reset=True)
         trans = {
@@ -197,6 +262,8 @@ def rollout(network, config: PPOConfig, reward_config: RewardConfig,
             "reward": out.reward,
             "done": out.done,
         }
+        if search_a is not None:
+            trans["search_a"] = search_a.astype(jnp.uint8)  # 192 < 256
         stats = {
             "done": out.done,
             "final_score": out.info["final_score"],
@@ -284,6 +351,7 @@ def update(network, config: PPOConfig, tx, ts: TrainState, traj,
     adv = (adv - adv.mean()) / (adv.std() + 1e-8)  # ppo.py:196
     ret = returns.reshape(total)
     ent_coef = entropy_coef_at(config, ts.update_step)
+    bc_coef = bc_coef_at(config, ts.update_step)
 
     def loss_fn(params, batch_stats, batch, dropout_key):
         obs = _minibatch_obs(batch)
@@ -292,15 +360,29 @@ def update(network, config: PPOConfig, tx, ts: TrainState, traj,
             train=True, dropout_key=dropout_key, mutable=True,
         )
         new_logp = D.log_prob(logits, batch["action"])
-        if config.rollout_search_frac > 0.0:
-            new_logp = jnp.maximum(new_logp, -15.0)
         entropy = D.masked_entropy(logits, batch["mask"])
 
-        ratio = jnp.exp(new_logp - batch["logp"])
+        # Stored logp is floored at -15 (rollout), new_logp <= 0, so the
+        # log-ratio lives in (-inf, 15]: exp never overflows and a ~zero
+        # mass action just contributes ratio ~ 0.  The gradient is bounded
+        # on BOTH advantage signs: positive-adv samples with ratio past
+        # 1+eps take the constant clipped branch, and negative-adv samples
+        # with ratio past the dual-clip bound (Ye et al. 2020, used only in
+        # mixed search/policy rollouts where ratios can reach e^15) take a
+        # constant floor — which is what keeps a distillation run finite
+        # where round 4's probe hit NaN.
+        logratio = new_logp - batch["logp"]
+        ratio = jnp.exp(logratio)
         surr1 = ratio * batch["adv"]
         surr2 = jnp.clip(ratio, 1 - config.clip_epsilon,
                          1 + config.clip_epsilon) * batch["adv"]
-        policy_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+        per_sample = jnp.minimum(surr1, surr2)
+        if config.uses_search:
+            dual = 3.0 * batch["adv"]
+            per_sample = jnp.where(
+                batch["adv"] < 0.0, jnp.maximum(per_sample, dual), per_sample
+            )
+        policy_loss = -jnp.mean(per_sample)
         value_loss = jnp.mean((value - batch["ret"]) ** 2)
         entropy_mean = jnp.mean(entropy)
         loss = (
@@ -308,7 +390,25 @@ def update(network, config: PPOConfig, tx, ts: TrainState, traj,
             + config.value_coef * value_loss
             - ent_coef * entropy_mean
         )
-        approx_kl = jnp.mean((ratio - 1.0) - jnp.log(ratio))
+        if config.uses_search:
+            # Explicit distillation channel: cross-entropy against the
+            # search-chosen action at every state (recorded whether or not
+            # the env executed it).  The clipped surrogate above cannot push
+            # mass onto actions the policy currently scores near zero (its
+            # gradient saturates at the clip); this term can.  Once the BC
+            # anneal reaches 0 the rollout skips the search entirely and
+            # `search_a` holds dummy zeros, so both the loss term and the
+            # metric are gated through `where` (never 0 * garbage).
+            bc_logp = D.log_prob(logits, batch["search_a"].astype(jnp.int32))
+            bc_active = bc_coef > 0.0
+            bc_loss = jnp.where(bc_active, -jnp.mean(bc_logp), 0.0)
+            loss = loss + jnp.where(bc_active, bc_coef * bc_loss, 0.0)
+        else:
+            bc_loss = jnp.float32(0.0)
+        # Metric-only clamp: a ratio of exactly 0 would make the k3 KL
+        # estimator print inf; training math above never sees this clamp.
+        kl_lr = jnp.clip(logratio, -20.0, 20.0)
+        approx_kl = jnp.mean(jnp.exp(kl_lr) - 1.0 - kl_lr)
         clip_frac = jnp.mean(
             (jnp.abs(ratio - 1.0) > config.clip_epsilon).astype(jnp.float32)
         )
@@ -319,6 +419,7 @@ def update(network, config: PPOConfig, tx, ts: TrainState, traj,
             "total_loss": loss,
             "approx_kl": approx_kl,
             "clip_fraction": clip_frac,
+            "bc_loss": bc_loss,
         }
         return loss, (new_stats, aux)
 
@@ -365,7 +466,7 @@ def train_iteration(network, config: PPOConfig, reward_config: RewardConfig,
     k_roll, k_upd = jr.split(key)
     env_state, batch_stats, traj, last_value, ep_stats = rollout(
         network, config, reward_config, ts.params, ts.batch_stats,
-        env_state, k_roll,
+        env_state, k_roll, ts.update_step,
     )
     ts = ts.replace(batch_stats=batch_stats)
     advantages, returns = compute_gae(
@@ -375,6 +476,9 @@ def train_iteration(network, config: PPOConfig, reward_config: RewardConfig,
                          k_upd)
     metrics = dict(metrics)
     metrics.update(ep_stats)
+    if config.uses_search:
+        metrics["search_frac"] = search_frac_at(config, ts.update_step - 1)
+        metrics["bc_coef"] = bc_coef_at(config, ts.update_step - 1)
     return ts, env_state, metrics
 
 

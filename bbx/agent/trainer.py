@@ -70,6 +70,10 @@ def ppo_config_from(
         rollout_steps=rollout_steps,
         num_envs=num_envs,
         rollout_search_frac=ppo.get("rollout_search_frac", 0.0),
+        final_rollout_search_frac=ppo.get("final_rollout_search_frac"),
+        bc_coef=ppo.get("bc_coef", 0.0),
+        final_bc_coef=ppo.get("final_bc_coef"),
+        search_topk=ppo.get("search_topk", 0),
         final_learning_rate=ppo.get("final_learning_rate"),
         final_entropy_coef=ppo.get("final_entropy_coef"),
         schedule_updates=schedule_updates,
@@ -640,6 +644,9 @@ def train(
                     "episodes": metrics["episodes"],
                     "invalid_frac": metrics["invalid_frac"],
                 }
+                for extra_key in ("bc_loss", "search_frac", "bc_coef"):
+                    if extra_key in metrics:
+                        row[extra_key] = metrics[extra_key]
                 if flops_per_iter and peak_flops:
                     # flops_per_iter counts the GLOBAL batch; peak is per
                     # chip, so normalize by the mesh's device count.

@@ -30,11 +30,18 @@ def bench_engine(num_envs: int = 1024, steps: int = 512,
 
     @jax.jit
     def run(state, key):
-        def body(state, key_t):
-            a = sample_valid_actions_device(key_t, observe(state)["action_mask"])
-            return step(state, a, auto_reset=True).state, None
+        # Carry (state, mask): `step` already returns the next observation,
+        # so the mask is never recomputed outside the step (same loop shape
+        # as the headline bench.py — the gate must measure the same work).
+        def body(carry, key_t):
+            state, mask = carry
+            a = sample_valid_actions_device(key_t, mask)
+            out = step(state, a, auto_reset=True)
+            return (out.state, out.obs["action_mask"]), None
         keys = jr.split(key, steps)
-        state, _ = jax.lax.scan(body, state, keys)
+        (state, _), _ = jax.lax.scan(
+            body, (state, observe(state)["action_mask"]), keys
+        )
         return state
 
     key = jr.key(0)
