@@ -18,6 +18,14 @@ class BaseAgent(abc.ABC):
                       deterministic: bool = False) -> Tuple[int, Dict[str, Any]]:
         ...
 
+    # NOTE: the reference also declares `update(batch) -> Dict` abstract
+    # (`base.py:43-56`), but its own PPO never calls it through this
+    # interface and its signature (a single torch-tensor batch) doesn't fit
+    # the actual update (rollout buffer + schedules).  bbx drops it
+    # deliberately: the on-device update is `bbx.agent.ppo.update`, invoked
+    # by the jitted train iteration, not a per-agent method — a host-side
+    # abstract method would be dead API surface here.
+
     @abc.abstractmethod
     def save(self, path: str) -> None:
         ...

@@ -77,6 +77,10 @@ class PPOConfig:
     # (0 = all 192 actions).  Cuts the lookahead fleet from N*192 to N*k,
     # which is what makes search rollouts affordable at 1024+ envs.
     search_topk: int = 0
+    # Fraction of `schedule_updates` over which the search-frac/BC anneals
+    # complete (lr/entropy keep the full horizon).  With e.g. 0.6 the last
+    # 40% of the run is pure-policy PPO polish at full rollout speed.
+    search_anneal_frac: float = 1.0
     # Optional linear schedules over `schedule_updates` PPO iterations
     # (the reference trains at constant lr/entropy; these default off).
     final_learning_rate: Optional[float] = None
@@ -140,15 +144,17 @@ def entropy_coef_at(config: PPOConfig, update_step: jnp.ndarray) -> jnp.ndarray:
 
 def search_frac_at(config: PPOConfig, update_step: jnp.ndarray) -> jnp.ndarray:
     """Search-action fraction for the given PPO iteration (annealable)."""
+    horizon = int(config.schedule_updates * config.search_anneal_frac)
     return _linear_at(config.rollout_search_frac,
                       config.final_rollout_search_frac,
-                      config.schedule_updates, update_step)
+                      horizon, update_step)
 
 
 def bc_coef_at(config: PPOConfig, update_step: jnp.ndarray) -> jnp.ndarray:
     """Behavior-cloning coefficient for the given PPO iteration."""
+    horizon = int(config.schedule_updates * config.search_anneal_frac)
     return _linear_at(config.bc_coef, config.final_bc_coef,
-                      config.schedule_updates, update_step)
+                      horizon, update_step)
 
 
 def init_train_state(network, config: PPOConfig, key) -> TrainState:

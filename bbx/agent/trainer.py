@@ -74,6 +74,7 @@ def ppo_config_from(
         bc_coef=ppo.get("bc_coef", 0.0),
         final_bc_coef=ppo.get("final_bc_coef"),
         search_topk=ppo.get("search_topk", 0),
+        search_anneal_frac=ppo.get("search_anneal_frac", 1.0),
         final_learning_rate=ppo.get("final_learning_rate"),
         final_entropy_coef=ppo.get("final_entropy_coef"),
         schedule_updates=schedule_updates,
@@ -130,7 +131,6 @@ class PPOTrainer:
             donate_argnums=(0, 1),
         )
         self.global_step = 0
-        self._eval_fns: Dict[int, Any] = {}
         self._loaded_extra: Dict[str, Any] = {}
 
     # ---- multi-process placement -------------------------------------------
@@ -182,92 +182,38 @@ class PPOTrainer:
         return EnvState(**global_leaves)
 
     # ---- on-device evaluation ---------------------------------------------
-    def _eval_fn(self, chunk: int, stochastic: bool):
-        """Cached jitted evaluator: N parallel episode lanes.
-
-        Greedy (argmax) by default; `stochastic=True` samples from the
-        masked categorical, matching how the reference's rolling training
-        mean collects its episodes (`scripts/train.py:228-232`)."""
-        if (chunk, stochastic) in self._eval_fns:
-            return self._eval_fns[(chunk, stochastic)]
-
-        from ..engine.step import observe, step
-        from ..models import distributions as D
-
-        network = self.network
-
-        @jax.jit
-        def reset_lanes(keys):
-            return engine_reset(keys)
-
-        @jax.jit
-        def run_chunk(params, batch_stats, state, key):
-            variables = {"params": params}
-            if batch_stats:
-                variables["batch_stats"] = batch_stats
-
-            def body(carry, _):
-                state, key = carry
-                obs = observe(state)
-                logits, _ = network.apply(
-                    variables, obs["board"], obs["pieces"],
-                    obs["action_mask"], train=False,
-                )
-                if stochastic:
-                    key, k = jr.split(key)
-                    actions = D.sample(k, logits)
-                else:
-                    actions = D.mode(logits)
-                out = step(state, actions, self.rewards, auto_reset=False)
-                return (out.state, key), None
-
-            (state, _), _ = jax.lax.scan(
-                body, (state, key), None, length=chunk
-            )
-            return state
-
-        fns = (reset_lanes, run_chunk)
-        self._eval_fns[(chunk, stochastic)] = fns
-        return fns
-
     def evaluate(self, num_episodes: int = 100, seed: int = 10_000,
                  max_steps: int = 8192, chunk: int = 128,
-                 stochastic: bool = False) -> Dict[str, float]:
+                 stochastic: bool = False,
+                 lookahead: bool = False) -> Dict[str, float]:
         """Evaluate the current policy (greedy by default).
 
-        The reference's eval loops episodes sequentially on the host
-        (`scripts/evaluate.py:23-90`); here every episode is a parallel
-        device lane stepped until all lanes terminate.  Aggregates are
-        computed over COMPLETED episodes only — lanes still alive at
-        `max_steps` are reported in `eval_truncated`, not silently mixed
-        into the mean (their scores are a lower bound, which would bias the
-        mean down exactly when the policy survives long).
+        Delegates to `bbx.cli.evaluate.evaluate_policy` — ONE lane-stepping
+        implementation serves both the CLI and in-training eval (round-5
+        unification), with the union of knobs: `stochastic` samples from the
+        masked categorical (how the reference's rolling training mean
+        collects episodes, `scripts/train.py:228-232`), `lookahead` runs
+        policy+1-ply search (label results as search-assisted).  Every
+        aggregate, including the max, is over COMPLETED episodes only.
         """
-        reset_lanes, run_chunk = self._eval_fn(chunk, stochastic)
-        state = reset_lanes(make_env_keys(seed, num_episodes))
-        key = jr.key(seed + 1)
-        steps = 0
-        while steps < max_steps:
-            key, k = jr.split(key)
-            state = run_chunk(
-                self.train_state.params, self.train_state.batch_stats,
-                state, k,
-            )
-            steps += chunk
-            done = np.asarray(state.done)
-            if done.all():
-                break
-        done = np.asarray(state.done)
-        scores = np.asarray(state.score, np.float64)
-        moves = np.asarray(state.moves, np.float64)
-        sel = done if done.any() else np.ones_like(done)
+        from ..cli.evaluate import evaluate_policy
+
+        variables = {"params": self.train_state.params}
+        if self.train_state.batch_stats:
+            variables["batch_stats"] = self.train_state.batch_stats
+        r = evaluate_policy(
+            self.network, variables, num_episodes=num_episodes,
+            deterministic=not stochastic, seed=seed, max_steps=max_steps,
+            chunk=chunk, lookahead=lookahead, gamma=self.ppo.gamma,
+            reward_config=self.rewards, topk=self.ppo.search_topk,
+        )
         return {
-            "eval_score_mean": float(scores[sel].mean()),
-            "eval_score_max": float(scores.max()),
-            "eval_score_median": float(np.median(scores[sel])),
-            "eval_length_mean": float(moves[sel].mean()),
-            "eval_completed": float(done.sum()),
-            "eval_truncated": float((~done).sum()),
+            "eval_score_mean": r["score_mean"],
+            "eval_score_max": r["score_max"],
+            "eval_score_median": r["score_median"],
+            "eval_length_mean": r["length_mean"],
+            "eval_completed": float(r["completed"]),
+            "eval_truncated": float(r["truncated"]),
         }
 
     @property

@@ -117,7 +117,12 @@ def bench_network(batch_sizes=(1, 8, 32, 128, 512, 4096)) -> dict:
 
 def bench_train(num_envs: int = 1024, rollout: int = 64, iters: int = 5) -> dict:
     """Full PPO iteration throughput (env+policy+update), the analogue of the
-    reference's measured ~180 steps/s training FPS."""
+    reference's measured ~180 steps/s training FPS.
+
+    The minibatch size defaults to `max(2048, num_envs * rollout // 4)`:
+    a quarter of the rollout buffer (4 gradient steps per epoch, the
+    reference's proportions at its 64-env config) but never below 2048,
+    so the MXU stays saturated when the env fleet is small."""
     from ..agent.trainer import PPOTrainer
 
     config = {

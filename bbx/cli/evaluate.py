@@ -21,6 +21,50 @@ from ..engine.step import RewardConfig, observe, step
 from ..models import distributions as D
 
 
+# Jitted lane-stepping runners, keyed by everything that changes the traced
+# program.  This is THE eval loop: both the CLI and PPOTrainer.evaluate call
+# it (round-5 unification — two divergent copies is how greedy/stochastic
+# mix-ups happen), and in-training evals must not retrace every call.
+_RUNNER_CACHE: Dict[Any, Any] = {}
+
+
+def _eval_runner(network, reward_config, deterministic, lookahead, chunk,
+                 gamma, topk):
+    cache_key = (network, reward_config, deterministic, lookahead, chunk,
+                 gamma, topk)
+    if cache_key in _RUNNER_CACHE:
+        return _RUNNER_CACHE[cache_key]
+
+    if lookahead:
+        from ..agent.lookahead import lookahead_actions
+
+    @jax.jit
+    def run_chunk(variables, state, key):
+        def body(state, key_t):
+            if lookahead:
+                action = lookahead_actions(
+                    network, variables, state, key_t,
+                    reward_config=reward_config, gamma=gamma, topk=topk,
+                )
+            else:
+                obs = observe(state)
+                logits, _ = network.apply(
+                    variables, obs["board"], obs["pieces"],
+                    obs["action_mask"], train=False,
+                )
+                action = (D.mode(logits) if deterministic
+                          else D.sample(key_t, logits))
+            out = step(state, action, reward_config, auto_reset=False)
+            return out.state, None
+
+        keys = jr.split(key, chunk)
+        state, _ = jax.lax.scan(body, state, keys)
+        return state
+
+    _RUNNER_CACHE[cache_key] = run_chunk
+    return run_chunk
+
+
 def evaluate_policy(
     network,
     variables,
@@ -32,6 +76,8 @@ def evaluate_policy(
     progress: bool = False,
     lookahead: bool = False,
     gamma: float = 0.99,
+    reward_config: RewardConfig | None = None,
+    topk: int = 0,
 ) -> Dict[str, Any]:
     """Run `num_episodes` full episodes in parallel lanes; return statistics
     (`evaluate.py:23-117`).
@@ -39,38 +85,18 @@ def evaluate_policy(
     `lookahead=True` switches from the raw policy to policy+1-ply value
     search (`bbx.agent.lookahead`) — a beyond-the-reference eval mode whose
     results must be labeled as such, never mixed with raw-policy numbers.
+    (`topk` bounds its candidate set; 0 simulates all 192 actions.)
     """
-    if lookahead:
-        from ..agent.lookahead import lookahead_actions
-
-    @jax.jit
-    def run_chunk(state, key):
-        def body(state, key_t):
-            if lookahead:
-                action = lookahead_actions(
-                    network, variables, state, key_t, gamma=gamma,
-                )
-            else:
-                obs = observe(state)
-                logits, _ = network.apply(
-                    variables, obs["board"], obs["pieces"],
-                    obs["action_mask"], train=False,
-                )
-                action = (D.mode(logits) if deterministic
-                          else D.sample(key_t, logits))
-            out = step(state, action, RewardConfig(), auto_reset=False)
-            return out.state, None
-
-        keys = jr.split(key, chunk)
-        state, _ = jax.lax.scan(body, state, keys)
-        return state
+    rc = reward_config or RewardConfig()
+    run_chunk = _eval_runner(network, rc, deterministic, lookahead, chunk,
+                             gamma, topk)
 
     state = jax.jit(reset)(make_env_keys(seed, num_episodes))
     key = jr.key(seed + 1)
     steps_done = 0
     while steps_done < max_steps:
         key, k = jr.split(key)
-        state = run_chunk(state, k)
+        state = run_chunk(variables, state, k)
         steps_done += chunk
         done = np.asarray(state.done)
         if progress:
@@ -168,6 +194,12 @@ def main(argv=None) -> int:
                          "mode; report as search-assisted, not raw policy)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--output", default=None, help="JSON results path")
+    ap.add_argument("--render", action="store_true",
+                    help="after the stats, replay a few episodes with ASCII "
+                         "rendering (reference `scripts/evaluate.py:37`; the "
+                         "parallel eval lanes themselves can't render)")
+    ap.add_argument("--render-games", type=int, default=2,
+                    help="episodes to render with --render")
     args = ap.parse_args(argv)
 
     cfg = config_for_checkpoint(args.checkpoint, args.config)
@@ -183,6 +215,11 @@ def main(argv=None) -> int:
         with open(args.output, "w") as f:
             json.dump(results, f, indent=2)
         print(f"results written to {args.output}")
+    if args.render:
+        from .play import watch
+
+        watch(args.checkpoint, args.config, games=args.render_games,
+              delay=0.0, deterministic=args.deterministic, seed=args.seed)
     return 0
 
 

@@ -158,22 +158,6 @@ def _event_draws(ekeys: jnp.ndarray, j0: jnp.ndarray, count: int):
 _TAIL_DRAWS = 4  # speculative attempts per tail round for stuck lanes
 
 
-def _bucket_widths(maxw: int) -> tuple:
-    """Static buffer widths 32, 128, 512, ... maxw (geometric x4 steps).
-
-    Retry rounds pick the smallest bucket covering their *live* demand, so a
-    round that serves a handful of stragglers verdicts a 32-slot buffer, not
-    a fleet-width one.  x4 steps keep the branch count (compile cost) low at
-    a worst-case 4x overshoot, which only ever applies to one round."""
-    ws = []
-    w = 32
-    while w < maxw:
-        ws.append(w)
-        w *= 4
-    ws.append(maxw)
-    return tuple(ws)
-
-
 def regen_pieces(
     board: jnp.ndarray,
     piece_ids: jnp.ndarray,

@@ -268,7 +268,14 @@ class NormalizedRewardWrapper:
 
 class FrameStackWrapper:
     """Stack the last k board frames as `obs['board_stack']` (k, 8, 8)
-    (`/root/reference/src/environment/wrappers.py:224-280`)."""
+    (`/root/reference/src/environment/wrappers.py:224-280`).
+
+    Reset seeds ALL k frames with the first observation, as the reference
+    does, so the early-episode stack never mixes in phantom empty boards.
+    Deliberate deviation: the stack is exposed under the separate
+    `board_stack` key (the raw `board` stays untouched) instead of
+    replacing `board` — downstream code keeps a stable single-frame key
+    and opts into the stacked view."""
 
     def __init__(self, env, num_frames: int = 4):
         self.env = env
@@ -282,8 +289,7 @@ class FrameStackWrapper:
 
     def reset(self, *args, **kwargs):
         obs, info = self.env.reset(*args, **kwargs)
-        self.frames[:] = 0.0
-        self.frames[-1] = obs["board"]
+        self.frames[:] = obs["board"]
         return self._obs(obs), info
 
     def step(self, action):

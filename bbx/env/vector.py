@@ -141,7 +141,11 @@ class NormalizedRewardVecEnv:
 
 
 class FrameStackVecEnv:
-    """Stack the last k board frames as channels (`wrappers.py:224-280`)."""
+    """Stack the last k board frames as channels (`wrappers.py:224-280`).
+
+    Reset (and the auto-reset of finished lanes) seeds ALL k frames with
+    the first observation, as the reference does; the stack lives under
+    the separate `board_stack` key (see FrameStackWrapper's note)."""
 
     def __init__(self, env: VectorEnv, num_frames: int = 4):
         self.env = env
@@ -155,16 +159,14 @@ class FrameStackVecEnv:
 
     def reset(self, seed=None):
         obs = self.env.reset(seed)
-        self.frames[:] = 0.0
-        self.frames[:, -1] = obs["board"]
+        self.frames[:] = obs["board"][:, None]
         return self._obs(obs)
 
     def step(self, actions):
         obs, rewards, dones, infos = self.env.step(actions)
         self.frames = np.roll(self.frames, -1, axis=1)
         self.frames[:, -1] = obs["board"]
-        self.frames[dones] = 0.0
-        self.frames[dones, -1] = obs["board"][dones]
+        self.frames[dones] = obs["board"][dones, None]
         return self._obs(obs), rewards, dones, infos
 
     def __getattr__(self, item):

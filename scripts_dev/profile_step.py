@@ -11,7 +11,9 @@ import jax.random as jr
 from bbx.engine.state import make_env_keys, reset, regen_pieces, fresh_pieces
 from bbx.engine.step import step, observe
 from bbx.engine import kernel as K
-from bbx.engine.solvability import solvable, solvable_disjoint, solvable_full
+from bbx.engine.solvability import (
+    board_bits, solvable_disjoint_bits, solvable_exact_bits, valid3_bits,
+)
 from bbx.env.vector import sample_valid_actions_device
 
 N = int(os.environ.get("N", 4096))
@@ -69,13 +71,16 @@ bench(jax.jit(regen_pieces), state.board, state.piece_ids, state.rng, need,
 bench(jax.jit(regen_pieces), state.board, state.piece_ids, state.rng,
       jnp.zeros(N, bool), name="regen_pieces (0 lanes)")
 
-# solvable components
-ids = state.piece_ids
-bench(jax.jit(solvable), state.board, all_valid, ids, need, name="solvable (1/3 pending)")
-v3 = jax.jit(K.gather_piece_validity)(all_valid, ids)
-bench(jax.jit(solvable_disjoint), v3, ids, name="solvable_disjoint (all lanes)")
-bench(jax.jit(lambda b, i: solvable_full(b, i, a1_block=64)), state.board[:128],
-      ids[:128], name="solvable_full (128 lanes)")
+# solvability components (production bitboard path: state._verdict_flat
+# feeds solvable_disjoint_bits fast-path, then solvable_exact_bits)
+ids = state.piece_ids.astype(jnp.int32)
+bits = jax.jit(board_bits)(state.board)
+v3 = jax.jit(valid3_bits)(bits, ids)
+bench(jax.jit(valid3_bits), bits, ids, name="valid3_bits (all lanes)")
+bench(jax.jit(solvable_disjoint_bits), bits, ids, v3,
+      name="solvable_disjoint_bits (all lanes)")
+bench(jax.jit(solvable_exact_bits), bits[:128], ids[:128], v3[:128],
+      name="solvable_exact_bits (128 lanes)")
 
 # step without regen (hack: pass all_used=False by zeroing used)
 @jax.jit

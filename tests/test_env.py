@@ -149,6 +149,12 @@ def test_make_env_factory_with_wrappers():
     env = make_env(seed=5, normalize_reward=True, frame_stack=3)
     obs, info = env.reset()
     assert obs["board_stack"].shape == (3, 8, 8)
+    import numpy as _np
+
+    # Reset seeds every frame with the first observation (reference
+    # `wrappers.py:224-280` convention; round-5 advisor fix).
+    for f in obs["board_stack"]:
+        _np.testing.assert_array_equal(f, obs["board"])
     mask = obs["action_mask"]
     import numpy as np
 
