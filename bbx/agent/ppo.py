@@ -73,6 +73,14 @@ class PPOConfig:
     # channel.  Annealable to 0 via final_bc_coef.
     bc_coef: float = 0.0
     final_bc_coef: Optional[float] = None
+    # BC sample filter: "all" clones the search action at every state;
+    # "adv_pos" clones only steps where the env EXECUTED the search action
+    # and GAE scored it positive (binary advantage-weighted regression).
+    # The 1-ply teacher is noisy (one-sample regen draws, near-ties in Q):
+    # uniform cloning bottoms out at the teacher distribution's ~2.4-nat
+    # entropy floor, while the advantage filter keeps only the choices that
+    # actually paid off.
+    bc_filter: str = "all"
     # Restrict the 1-ply simulation to the top-k masked policy logits
     # (0 = all 192 actions).  Cuts the lookahead fleet from N*192 to N*k,
     # which is what makes search rollouts affordable at 1024+ envs.
@@ -86,6 +94,10 @@ class PPOConfig:
     final_learning_rate: Optional[float] = None
     final_entropy_coef: Optional[float] = None
     schedule_updates: int = 0
+    # Store Adam's first moment in bfloat16 ("bfloat16" | None).  Halves the
+    # optimizer-state HBM traffic per minibatch step; the second moment and
+    # the update math stay f32 (v's dynamic range matters for eps=1e-5).
+    adam_mu_dtype: Optional[str] = None
 
     @property
     def batch_size(self) -> int:
@@ -121,9 +133,10 @@ def make_optimizer(config: PPOConfig) -> optax.GradientTransformation:
         lr = optax.linear_schedule(
             config.learning_rate, config.final_learning_rate, steps
         )
+    mu_dtype = jnp.bfloat16 if config.adam_mu_dtype == "bfloat16" else None
     return optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
-        optax.adam(lr, eps=1e-5),
+        optax.adam(lr, eps=1e-5, mu_dtype=mu_dtype),
     )
 
 
@@ -247,6 +260,7 @@ def rollout(network, config: PPOConfig, reward_config: RewardConfig,
             )
             use = jr.uniform(k_mix, action.shape) < frac
             action = jnp.where(use, search_a, action)
+            search_used = use
         logp = D.log_prob(logits, action)
         if config.uses_search:
             # Floor only the STORED logp (advisor, round 4): a search action
@@ -270,6 +284,7 @@ def rollout(network, config: PPOConfig, reward_config: RewardConfig,
         }
         if search_a is not None:
             trans["search_a"] = search_a.astype(jnp.uint8)  # 192 < 256
+            trans["search_used"] = search_used
         stats = {
             "done": out.done,
             "final_score": out.info["final_score"],
@@ -406,8 +421,15 @@ def update(network, config: PPOConfig, tx, ts: TrainState, traj,
             # `search_a` holds dummy zeros, so both the loss term and the
             # metric are gated through `where` (never 0 * garbage).
             bc_logp = D.log_prob(logits, batch["search_a"].astype(jnp.int32))
+            if config.bc_filter == "adv_pos":
+                sel = batch["search_used"] & (batch["adv"] > 0.0)
+                w = sel.astype(jnp.float32)
+                bc_raw = -(jnp.sum(bc_logp * w)
+                           / jnp.maximum(jnp.sum(w), 1.0))
+            else:
+                bc_raw = -jnp.mean(bc_logp)
             bc_active = bc_coef > 0.0
-            bc_loss = jnp.where(bc_active, -jnp.mean(bc_logp), 0.0)
+            bc_loss = jnp.where(bc_active, bc_raw, 0.0)
             loss = loss + jnp.where(bc_active, bc_coef * bc_loss, 0.0)
         else:
             bc_loss = jnp.float32(0.0)

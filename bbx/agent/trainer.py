@@ -73,8 +73,10 @@ def ppo_config_from(
         final_rollout_search_frac=ppo.get("final_rollout_search_frac"),
         bc_coef=ppo.get("bc_coef", 0.0),
         final_bc_coef=ppo.get("final_bc_coef"),
+        bc_filter=ppo.get("bc_filter", "all"),
         search_topk=ppo.get("search_topk", 0),
         search_anneal_frac=ppo.get("search_anneal_frac", 1.0),
+        adam_mu_dtype=ppo.get("adam_mu_dtype"),
         final_learning_rate=ppo.get("final_learning_rate"),
         final_entropy_coef=ppo.get("final_entropy_coef"),
         schedule_updates=schedule_updates,

@@ -52,6 +52,21 @@ def test_gae_matches_reference_recursion():
     np.testing.assert_allclose(np.asarray(ret), ret_ref, rtol=2e-5, atol=1e-5)
 
 
+def test_adam_mu_dtype_bf16():
+    """`ppo.adam_mu_dtype: bfloat16` stores Adam's first moment in bf16
+    (HBM-traffic lever, round-5); second moment stays f32."""
+    cfg = PPOConfig(adam_mu_dtype="bfloat16", num_envs=8, rollout_steps=8,
+                    minibatch_size=32, num_epochs=2)
+    net = BlockBlastNetwork(dtype=jnp.float32)
+    ts = init_train_state(net, cfg, jr.key(0))
+    adam_state = ts.opt_state[1][0]
+    assert jax.tree.leaves(adam_state.mu)[0].dtype == jnp.bfloat16
+    assert jax.tree.leaves(adam_state.nu)[0].dtype == jnp.float32
+    # Default stays f32 (reference-faithful).
+    ts2 = init_train_state(net, TINY, jr.key(0))
+    assert jax.tree.leaves(ts2.opt_state[1][0].mu)[0].dtype == jnp.float32
+
+
 @pytest.fixture(scope="module")
 def tiny_setup():
     net = BlockBlastNetwork(dtype=jnp.float32)
