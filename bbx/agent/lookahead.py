@@ -31,6 +31,7 @@ def lookahead_actions(
     gamma: float = 0.99,
     topk: int = 0,
     policy_logits: jnp.ndarray | None = None,
+    return_q: bool = False,
 ) -> jnp.ndarray:
     """Pick actions by one-step simulation + value bootstrap.
 
@@ -50,8 +51,14 @@ def lookahead_actions(
       policy_logits: optional precomputed masked logits [N, 192] for the
         top-k candidate selection (rollouts already have them; passing them
         avoids a second forward pass).
+      return_q: also return the candidate ids and their Q estimates — the
+        dense distillation target (Q-soft cloning regresses the policy
+        toward the full candidate ORDERING instead of a noisy argmax
+        label).
     Returns:
-      [N] int32 actions (argmax of the one-ply Q estimate over candidates).
+      [N] int32 actions (argmax of the one-ply Q estimate over candidates);
+      with `return_q`, the tuple (actions, cand [N, width] int32,
+      q [N, width] f32 with -inf on invalid candidates).
     """
     rc = reward_config or RewardConfig()
     n = state.num_envs
@@ -93,7 +100,14 @@ def lookahead_actions(
     q = jnp.where(cand_mask, q.reshape(n, width), -jnp.inf)
     best = jnp.argmax(q, axis=1)
     if cand is None:
-        return best.astype(jnp.int32)
-    return jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0].astype(
-        jnp.int32
-    )
+        cand_out = jnp.broadcast_to(
+            jnp.arange(NUM_ACTIONS, dtype=jnp.int32)[None, :], (n, width)
+        )
+        action = best.astype(jnp.int32)
+    else:
+        cand_out = cand
+        action = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+        action = action.astype(jnp.int32)
+    if return_q:
+        return action, cand_out, q
+    return action

@@ -81,6 +81,17 @@ class PPOConfig:
     # entropy floor, while the advantage filter keeps only the choices that
     # actually paid off.
     bc_filter: str = "all"
+    # BC target: "argmax" is hard cross-entropy against the search-chosen
+    # action; "q_soft" distills the search's per-candidate Q VALUES via
+    # CE(policy, softmax(q / bc_q_temp)) — the dense target.  Measured on
+    # run7 (55M steps of argmax cloning): the search action sat at median
+    # RANK 2 in the policy with 0.19 mass and argmax agreement stuck at
+    # 31% — a hard label cannot resolve the ordering of the policy's top
+    # few candidates, which is where the score difference lives; the Q
+    # vector supervises that ordering directly and its one-sample regen
+    # noise averages out in the soft target.
+    bc_target: str = "argmax"
+    bc_q_temp: float = 1.0
     # Restrict the 1-ply simulation to the top-k masked policy logits
     # (0 = all 192 actions).  Cuts the lookahead fleet from N*192 to N*k,
     # which is what makes search rollouts affordable at 1024+ envs.
@@ -241,21 +252,33 @@ def rollout(network, config: PPOConfig, reward_config: RewardConfig,
             if batch_stats:
                 variables["batch_stats"] = batch_stats
 
+            width = (config.search_topk
+                     if 0 < config.search_topk < NUM_ACTIONS else NUM_ACTIONS)
+            n = action.shape[0]
+
             def _search(args):
                 st, lg, k = args
                 return lookahead_actions(
                     network, variables, st, k,
                     reward_config=reward_config, gamma=config.gamma,
                     topk=config.search_topk, policy_logits=lg,
+                    return_q=True,
                 )
+
+            def _dummy(args):
+                # Dummy Q is 0, NOT -inf: an all--inf row would make the
+                # (coefficient-gated) soft target NaN, and a NaN anywhere in
+                # the graph leaks through `where`'s untaken-branch gradient.
+                return (jnp.zeros_like(action),
+                        jnp.zeros((n, width), jnp.int32),
+                        jnp.zeros((n, width), jnp.float32))
 
             # lax.cond, not where: once the anneal reaches 0 the N*k-lane
             # simulation is genuinely skipped, so the tail of a DAgger-style
             # run costs the same as a pure-policy rollout.
-            search_a = jax.lax.cond(
+            search_a, search_cand, search_q = jax.lax.cond(
                 (frac > 0.0) | (bc_now > 0.0),
-                _search,
-                lambda args: jnp.zeros_like(action),
+                _search, _dummy,
                 (env_state, logits, k_look),
             )
             use = jr.uniform(k_mix, action.shape) < frac
@@ -285,6 +308,10 @@ def rollout(network, config: PPOConfig, reward_config: RewardConfig,
         if search_a is not None:
             trans["search_a"] = search_a.astype(jnp.uint8)  # 192 < 256
             trans["search_used"] = search_used
+            if config.bc_target == "q_soft":
+                trans["search_cand"] = search_cand.astype(jnp.uint8)
+                # bf16 storage: the soft target tolerates coarse Q.
+                trans["search_q"] = search_q.astype(jnp.bfloat16)
         stats = {
             "done": out.done,
             "final_score": out.info["final_score"],
@@ -420,14 +447,29 @@ def update(network, config: PPOConfig, tx, ts: TrainState, traj,
             # anneal reaches 0 the rollout skips the search entirely and
             # `search_a` holds dummy zeros, so both the loss term and the
             # metric are gated through `where` (never 0 * garbage).
-            bc_logp = D.log_prob(logits, batch["search_a"].astype(jnp.int32))
-            if config.bc_filter == "adv_pos":
-                sel = batch["search_used"] & (batch["adv"] > 0.0)
-                w = sel.astype(jnp.float32)
-                bc_raw = -(jnp.sum(bc_logp * w)
-                           / jnp.maximum(jnp.sum(w), 1.0))
+            if config.bc_target == "q_soft":
+                # Dense target: CE against softmax(q / temp) over the
+                # search's candidate set.  Invalid candidates carry -inf Q
+                # (zero target mass); candidate log-probs are finite (the
+                # mask uses -1e9, not -inf).  The advantage filter does not
+                # apply here — the Q vector labels every state regardless
+                # of which arm acted.
+                q = batch["search_q"].astype(jnp.float32)
+                tgt = jax.nn.softmax(q / config.bc_q_temp, axis=-1)
+                cand = batch["search_cand"].astype(jnp.int32)
+                logp_all = jax.nn.log_softmax(logits, axis=-1)
+                logp_cand = jnp.take_along_axis(logp_all, cand, axis=-1)
+                bc_raw = -jnp.mean(jnp.sum(tgt * logp_cand, axis=-1))
             else:
-                bc_raw = -jnp.mean(bc_logp)
+                bc_logp = D.log_prob(
+                    logits, batch["search_a"].astype(jnp.int32))
+                if config.bc_filter == "adv_pos":
+                    sel = batch["search_used"] & (batch["adv"] > 0.0)
+                    w = sel.astype(jnp.float32)
+                    bc_raw = -(jnp.sum(bc_logp * w)
+                               / jnp.maximum(jnp.sum(w), 1.0))
+                else:
+                    bc_raw = -jnp.mean(bc_logp)
             bc_active = bc_coef > 0.0
             bc_loss = jnp.where(bc_active, bc_raw, 0.0)
             loss = loss + jnp.where(bc_active, bc_coef * bc_loss, 0.0)

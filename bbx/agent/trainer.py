@@ -74,6 +74,8 @@ def ppo_config_from(
         bc_coef=ppo.get("bc_coef", 0.0),
         final_bc_coef=ppo.get("final_bc_coef"),
         bc_filter=ppo.get("bc_filter", "all"),
+        bc_target=ppo.get("bc_target", "argmax"),
+        bc_q_temp=ppo.get("bc_q_temp", 1.0),
         search_topk=ppo.get("search_topk", 0),
         search_anneal_frac=ppo.get("search_anneal_frac", 1.0),
         adam_mu_dtype=ppo.get("adam_mu_dtype"),

@@ -203,6 +203,52 @@ def test_bc_loss_pulls_policy_toward_search_action(net_and_state):
     assert after > max(3 * before, 0.2), (before, after)
 
 
+def test_q_soft_distillation_orders_policy(net_and_state):
+    """`bc_target: q_soft` must pull the policy's ranking toward the
+    candidate Q ordering — the dense target that replaced hard-argmax
+    cloning after run7's rank-2 plateau (see PPOConfig.bc_target)."""
+    net, ts0 = net_and_state
+    cfg = PPOConfig(num_envs=8, rollout_steps=8, minibatch_size=32,
+                    num_epochs=4, bc_coef=1.0, bc_target="q_soft",
+                    bc_q_temp=1.0, search_topk=4, learning_rate=1e-3)
+    tx = make_optimizer(cfg)
+    ts = ts0.replace(opt_state=tx.init(ts0.params))
+    T, N = cfg.rollout_steps, cfg.num_envs
+    traj = _synthetic_traj(cfg, 5)
+    # Candidates 10..13 with a strong Q gradient favouring action 10.
+    cand = jnp.broadcast_to(jnp.arange(10, 14, dtype=jnp.int32),
+                            (T, N, 4))
+    qv = jnp.broadcast_to(jnp.asarray([4.0, 1.0, 0.0, -2.0], jnp.float32),
+                          (T, N, 4))
+    traj["search_cand"] = cand.astype(jnp.uint8)
+    traj["search_q"] = qv.astype(jnp.bfloat16)
+    zeros = jnp.zeros((T, N), jnp.float32)
+
+    obs = {
+        "board": jnp.zeros((4, 8, 8), jnp.float32),
+        "pieces": jnp.zeros((4, 3, 8, 8), jnp.float32),
+        "action_mask": jnp.ones((4, NUM_ACTIONS), bool),
+    }
+
+    def prob(params, batch_stats, a):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits, _ = net.apply(variables, obs["board"], obs["pieces"],
+                              obs["action_mask"], train=False)
+        return float(jnp.exp(D.log_prob(
+            logits, jnp.full((4,), a, jnp.int32))).mean())
+
+    for i in range(3):
+        ts, metrics = jax.jit(
+            lambda ts, k: update(net, cfg, tx, ts, traj, zeros, zeros, k)
+        )(ts, jr.key(i))
+        assert np.isfinite(float(metrics["bc_loss"]))
+    p10 = prob(ts.params, ts.batch_stats, 10)
+    p13 = prob(ts.params, ts.batch_stats, 13)
+    assert p10 > 0.2 and p10 > 5 * p13, (p10, p13)
+
+
 def test_update_finite_under_extreme_ratio(net_and_state):
     """NaN regression (round-4 probe): stored logp floored at -15 while the
     policy later concentrates mass means ratios up to e^15.  The dual-clip
