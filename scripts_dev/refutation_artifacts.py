@@ -72,6 +72,10 @@ ax.set_facecolor("white")
 ref = rows("docs/refrun/ref_code_rerun.jsonl")
 ax.plot([r["step"] for r in ref], [r["avg_score"] for r in ref],
         color=REF, lw=2, label="reference code, rerun (CPU, this host)")
+for extra in sorted(glob.glob("docs/refrun/ref_code_rerun2*.jsonl")):
+    rs = rows(extra)
+    ax.plot([r["step"] for r in rs], [r["avg_score"] for r in rs],
+            color=REF, lw=1.4, alpha=0.55)
 
 b42 = rows("docs/parity_17M_bf16.jsonl")
 ax.plot([r["step"] for r in b42], [r["avg_score"] for r in b42],
@@ -80,6 +84,20 @@ for seed, p in seed_logs.items():
     rs = rows(p)
     ax.plot([r["step"] for r in rs], [r["avg_score"] for r in rs],
             color=BBX, lw=1.4, alpha=0.55)
+
+# Round-5 numerics-hardening arm: the same recipe at float32 compute
+# (config/refrecipe_f32.yaml) — rules out "bf16 hid the magic".
+F32 = "#3f9b6e"
+if os.path.exists("docs/refrecipe_f32.jsonl"):
+    rs = rows("docs/refrecipe_f32.jsonl")
+    ax.plot([r["step"] for r in rs], [r["avg_score"] for r in rs],
+            color=F32, lw=1.8,
+            label="bbx, same recipe at float32 compute (seed 42)")
+    lf = rs[-1]
+    ax.annotate(f"f32 → {lf['avg_score']:.0f}",
+                (lf["step"], lf["avg_score"]),
+                textcoords="offset points", xytext=(6, -16), fontsize=9,
+                color=INK)
 
 ax.axhline(4021, color=MUT, lw=1.5, ls=(0, (5, 4)))
 ax.text(2.1e7, 4021 * 0.93, "reference report's claimed final mean (4,021)",
