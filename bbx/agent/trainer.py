@@ -31,10 +31,21 @@ from .ppo import (
 )
 
 
-def _network_from_config(net_cfg: Dict[str, Any]) -> BlockBlastNetwork:
+def _network_from_config(net_cfg: Dict[str, Any]):
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         net_cfg.get("compute_dtype", "bfloat16")
     ]
+    if net_cfg.get("type", "cnn") == "afterstate":
+        from ..models.afterstate import AfterstateNetwork
+
+        return AfterstateNetwork(
+            eval_channels=tuple(net_cfg.get("eval_channels", (24, 24))),
+            eval_hidden=net_cfg.get("eval_hidden", 96),
+            ctx_dim=net_cfg.get("ctx_dim", 32),
+            value_channels=tuple(net_cfg.get("value_channels", (48, 64))),
+            value_hidden=net_cfg.get("value_hidden", 256),
+            dtype=dtype,
+        )
     return BlockBlastNetwork(
         conv_channels=tuple(net_cfg.get("conv_channels", (64, 128, 128))),
         fc_hidden=tuple(net_cfg.get("fc_hidden", (512, 256))),
